@@ -1,0 +1,291 @@
+"""Path-tracing integrator: the TPU replacement for the fragment ubershader.
+
+The reference runs a 50-line fragment shader once per pixel
+(``ubershader1.frag:147-163``); here the whole pixel grid is one batched jnp
+program: ray generation broadcasts over [H*W] rays, the bounce "recursion" is
+an iterative ``lax.fori_loop`` carrying (origin, direction, throughput,
+radiance, active) per ray (SURVEY §7: recursion -> iteration), and samples
+accumulate across an outer loop.
+
+Two scene backends share one integrator:
+- ``SphereScene`` — struct-of-arrays sphere soup (RTIOW scenes); nearest-hit
+  via the MXU-friendly batched quadratic (render/intersect.py).
+- ``CompiledTape`` — CSG scenes via the interval tape evaluator.
+
+This module is the *reference implementation* (pure jnp, CPU-runnable, used
+by tests and goldens); kernels/ holds the Pallas fast path validated
+against it.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..camera.pinhole import WololoCamera, pixel_st_grid
+from ..math import vec
+from ..scene.tape import CompiledTape
+from . import intersect, materials, tape_eval
+from .sampling import sample_in_unit_disk, uniform4
+
+WHITE = jnp.array([1.0, 1.0, 1.0], jnp.float32)
+SKY_BLUE = jnp.array([0.5, 0.7, 1.0], jnp.float32)
+
+
+def sky_color(d: Array, mode: str = "rtiow") -> Array:
+    """Background gradient.
+
+    - ``"wololo"``: the reference's t = unit_d.y (ubershader1.frag:115-123) —
+      note NOT the RTIOW 0.5*(y+1) remap; this is a deliberate reference
+      quirk kept for bit-comparable milestone images.
+    - ``"rtiow"``: t = 0.5 * (unit_d.y + 1) (the book's gradient).
+    - ``"black"``: no sky (emissive-lit scenes).
+    """
+    unit = vec.normalized(d, eps=1e-20)
+    y = unit[..., 1]
+    if mode == "wololo":
+        t = y
+    elif mode == "rtiow":
+        t = 0.5 * (y + 1.0)
+    elif mode == "black":
+        return jnp.zeros(d.shape[:-1] + (3,), jnp.float32)
+    else:
+        raise ValueError(f"unknown sky mode {mode!r}")
+    return vec.lerp(WHITE, SKY_BLUE, t)
+
+
+class SurfaceHit(NamedTuple):
+    t: Array  # [...]
+    hit: Array  # [...] bool
+    normal: Array  # [..., 3] unit, opposing the incoming ray
+    front_face: Array  # [...] bool (ray entered the solid from outside)
+    mat_kind: Array  # [...] int32
+    albedo: Array  # [..., 3]
+    mat_param: Array  # [...]
+
+
+class SphereScene(NamedTuple):
+    """Struct-of-arrays sphere soup with per-sphere materials."""
+
+    centers: Array  # [S, 3]
+    radii: Array  # [S]
+    mat_kind: Array  # [S] int32
+    albedo: Array  # [S, 3]
+    mat_param: Array  # [S]
+
+    @property
+    def num_spheres(self) -> int:
+        return self.centers.shape[0]
+
+    def nearest_hit(self, o: Array, d: Array, eps: float = 1e-3) -> SurfaceHit:
+        flat_o = o.reshape(-1, 3)
+        flat_d = d.reshape(-1, 3)
+        t, idx, hit = intersect.spheres_nearest_hit(
+            flat_o, flat_d, self.centers, self.radii, t_min=eps
+        )
+        t_safe = jnp.where(hit, t, 1.0)
+        p = flat_o + t_safe[:, None] * flat_d
+        outward = (p - self.centers[idx]) / self.radii[idx][:, None]
+        front_face = vec.dot(flat_d, outward) < 0.0
+        n = jnp.where(front_face[:, None], outward, -outward)
+        batch = o.shape[:-1]
+        return SurfaceHit(
+            t=t.reshape(batch),
+            hit=hit.reshape(batch),
+            normal=n.reshape(batch + (3,)),
+            front_face=front_face.reshape(batch),
+            mat_kind=self.mat_kind[idx].reshape(batch),
+            albedo=self.albedo[idx].reshape(batch + (3,)),
+            mat_param=self.mat_param[idx].reshape(batch),
+        )
+
+
+def tape_hit_adapter(tape: CompiledTape, o: Array, d: Array, eps: float = 1e-3) -> SurfaceHit:
+    h = tape_eval.tape_nearest_hit(tape, o, d, eps=eps)
+    # Face-forward the leaf normal against the ray; ``entering`` is the
+    # solid-level front-face flag (correct even on subtracted surfaces).
+    flip = vec.dot(d, h.normal) > 0.0
+    n = jnp.where(flip[..., None], -h.normal, h.normal)
+    return SurfaceHit(
+        t=h.t,
+        hit=h.hit,
+        normal=n,
+        front_face=h.entering,
+        mat_kind=h.mat_kind,
+        albedo=h.albedo,
+        mat_param=h.mat_param,
+    )
+
+
+HitFn = Callable[[Array, Array], SurfaceHit]
+
+
+def trace_paths(
+    hit_fn: HitFn,
+    o: Array,  # [..., 3]
+    d: Array,  # [..., 3]
+    pixel_id: Array,  # [...] uint32 — stable global pixel index
+    sample_id: Array,  # [] or [...] uint32
+    seed: int,
+    max_bounces: int,
+    sky: str = "rtiow",
+    eps: float = 1e-3,
+) -> tuple[Array, Array]:
+    """Iterative bounce loop. Returns (radiance [..., 3], rays_traced [])."""
+    batch = o.shape[:-1]
+    state = dict(
+        o=o,
+        d=d,
+        throughput=jnp.ones(batch + (3,), jnp.float32),
+        radiance=jnp.zeros(batch + (3,), jnp.float32),
+        active=jnp.ones(batch, bool),
+        rays=jnp.zeros((), jnp.int64 if jax.config.x64_enabled else jnp.int32),
+    )
+
+    def bounce(b, s):
+        h = hit_fn(s["o"], s["d"])
+        u = uniform4(
+            pixel_id,
+            sample_id,
+            jnp.uint32(b),
+            jnp.uint32(seed & 0xFFFFFFFF),
+        )
+        sc = materials.scatter(
+            h.mat_kind, h.albedo, h.mat_param, s["d"], h.normal, h.front_face, u
+        )
+        active = s["active"]
+        missed = active & ~h.hit
+        hit_active = active & h.hit
+
+        radiance = s["radiance"]
+        radiance = radiance + jnp.where(
+            missed[..., None], s["throughput"] * sky_color(s["d"], sky), 0.0
+        )
+        radiance = radiance + jnp.where(
+            hit_active[..., None], s["throughput"] * sc.emitted, 0.0
+        )
+        throughput = jnp.where(
+            hit_active[..., None], s["throughput"] * sc.attenuation, s["throughput"]
+        )
+        still_active = hit_active & ~sc.terminate
+
+        t_safe = jnp.where(h.hit, h.t, 1.0)
+        new_o = jnp.where(
+            hit_active[..., None], s["o"] + t_safe[..., None] * s["d"], s["o"]
+        )
+        new_d = jnp.where(hit_active[..., None], sc.direction, s["d"])
+        return dict(
+            o=new_o,
+            d=new_d,
+            throughput=throughput,
+            radiance=radiance,
+            active=still_active,
+            rays=s["rays"] + jnp.sum(active.astype(s["rays"].dtype)),
+        )
+
+    state = jax.lax.fori_loop(0, max_bounces, bounce, state)
+    # Paths still active after the bounce cap contribute nothing (RTIOW
+    # convention: "no more light is gathered").
+    return state["radiance"], state["rays"]
+
+
+def render_image(
+    hit_fn: HitFn,
+    camera,
+    width: int,
+    height: int,
+    spp: int = 1,
+    max_bounces: int = 8,
+    seed: int = 0,
+    sky: str = "rtiow",
+    jitter: bool = True,
+    lens: bool = False,
+) -> tuple[Array, Array]:
+    """Render a linear-radiance image [H, W, 3]; also returns rays traced.
+
+    Samples run as a ``lax.fori_loop`` over spp (one compiled body), each
+    sample jittering the pixel position with the counter-based RNG so results
+    are identical under any pixel sharding.
+    """
+    ys = jnp.arange(height, dtype=jnp.uint32)
+    xs = jnp.arange(width, dtype=jnp.uint32)
+    pixel_id = (ys[:, None] * jnp.uint32(width) + xs[None, :])  # [H, W]
+
+    def one_sample(s, acc):
+        u = uniform4(
+            pixel_id, jnp.uint32(s), jnp.uint32(0xA5A5A5A5), jnp.uint32(seed)
+        )
+        if jitter:
+            jx, jy = u[..., 0], u[..., 1]
+        else:
+            jx = jnp.full(pixel_id.shape, 0.5, jnp.float32)
+            jy = jx
+        st_x = (xs[None, :].astype(jnp.float32) + jx) / width
+        st_y = 1.0 - (ys[:, None].astype(jnp.float32) + jy) / height
+        if lens:
+            lens_uv = sample_in_unit_disk(u[..., 2], u[..., 3])
+            o, d = camera.rays(st_x, st_y, lens_uv=lens_uv)
+        else:
+            o, d = camera.rays(st_x, st_y)
+        radiance, rays = trace_paths(
+            hit_fn,
+            o,
+            d,
+            pixel_id,
+            jnp.uint32(s),
+            seed,
+            max_bounces,
+            sky=sky,
+        )
+        return acc[0] + radiance, acc[1] + rays
+
+    acc0 = (
+        jnp.zeros((height, width, 3), jnp.float32),
+        jnp.zeros((), jnp.int64 if jax.config.x64_enabled else jnp.int32),
+    )
+    image_sum, rays = jax.lax.fori_loop(0, spp, one_sample, acc0)
+    return image_sum / spp, rays
+
+
+# ---------------------------------------------------------------------------
+# Config 1: the milestone-01 frame, bit-faithful to the reference shader
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(1, 2))
+def render_wololo_frame(time_since_start_sec, width: int, height: int) -> Array:
+    """Exact re-expression of ``ep_rt1_1`` (ubershader1.frag:97-163).
+
+    One animated sphere (y = 2 sin(2*pi/4 * t), z = -11), normal-map shading
+    0.5*(n+1) on hit, white->sky-blue gradient on the *unnormalized-ray*'s
+    normalized y otherwise. Directions stay unnormalized through the sphere
+    test exactly like ``rt_fragment_ray`` (frag:74-82).
+    """
+    t_sec = jnp.asarray(time_since_start_sec, jnp.float32)
+    st_x, st_y = pixel_st_grid(width, height)
+    cam = WololoCamera.create()
+    o, d = cam.rays(st_x, st_y, aspect_ratio=width / height)
+
+    # frag:99-104 — animated sphere center (3.1415, not pi, per the source)
+    amplitude = jnp.float32(2.0)
+    omega = jnp.float32(2.0 * 3.1415 / 4.0)
+    center = jnp.stack(
+        [
+            jnp.float32(0.0),
+            amplitude * jnp.sin(omega * t_sec),
+            jnp.float32(-1.0 - 10.0),
+        ]
+    )
+    radius = 0.5
+
+    t = intersect.hit_sphere_ref(center, radius, o, d)
+    hit = t > 0.0
+
+    # frag:107-111: normal = normalize(d * t - center)  (NOTE: the reference
+    # omits the ray origin — correct only because origin == 0; kept verbatim.)
+    n = vec.normalized(d * t[..., None] - center, eps=1e-20)
+    hit_color = 0.5 * (n + 1.0)
+    return jnp.where(hit[..., None], hit_color, sky_color(d, "wololo"))

@@ -1,0 +1,141 @@
+"""Postfix-tape CSG evaluator over batched rays (pure jnp reference path).
+
+Executes a CompiledTape as a stack machine whose values are fixed-size
+interval lists (render/interval.py). The opcode stream is static, so the
+Python loop unrolls at trace time into straight-line XLA — no dynamic control
+flow, no recursion (SURVEY §7: "recursive shading becomes iterative").
+
+Surface attribution (normals + materials) avoids carrying per-boundary leaf
+ids through the interval sort entirely: after the nearest surface t* is
+known, every leaf evaluates a cheap "how close is the hit point to my
+surface" score in its local frame, and an argmin picks the owning leaf. That
+is L extra fused VPU ops instead of a sort over structs — the TPU-friendly
+trade (SURVEY §7 hard part #1/#3).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import Array
+
+from ..math import quaternion as quat
+from ..scene.graph import NodeType
+from ..scene.tape import OP_DIFF, OP_INTERSECT, OP_PUSH, OP_UNION, CompiledTape
+from . import intersect, interval
+
+
+def _leaf_interval(tape: CompiledTape, leaf: int, o: Array, d: Array):
+    """Single leaf's (enter, exit) along rays, computed in its local frame."""
+    q = tape.leaf_rot[leaf]
+    pos = tape.leaf_pos[leaf]
+    o_l = quat.rotate(q, o - pos)
+    d_l = quat.rotate(q, d)
+    p = tape.leaf_params[leaf]
+    t = tape.leaf_types[leaf]
+    if t == NodeType.SPHERE:
+        return intersect.sphere_interval(o_l, d_l, p[0])
+    if t == NodeType.INFINITE_PLANAR_PARTITION:
+        return intersect.halfspace_interval(o_l, d_l, p[:3])
+    if t == NodeType.BOX:
+        return intersect.box_interval(o_l, d_l, p[:3])
+    if t == NodeType.CYLINDER:
+        return intersect.cylinder_interval(o_l, d_l, p[0], p[1])
+    raise ValueError(f"bad leaf type {t}")
+
+
+def eval_tape_intervals(tape: CompiledTape, o: Array, d: Array):
+    """Run the postfix program; returns the root interval list ([..., K] x2)."""
+    stack: list = []
+    for opcode, operand in tape.ops:
+        if opcode == OP_PUSH:
+            enter, exit_ = _leaf_interval(tape, operand, o, d)
+            stack.append(interval.single_to_list(enter, exit_, tape.k))
+        else:
+            right = stack.pop()
+            left = stack.pop()
+            op = {OP_UNION: "union", OP_INTERSECT: "intersect", OP_DIFF: "diff"}[
+                opcode
+            ]
+            stack.append(interval.combine(left, right, op=op, k=tape.k))
+    (result,) = stack
+    return result
+
+
+def _leaf_surface_score_and_normal(tape: CompiledTape, leaf: int, p_world: Array):
+    """(score [...], normal_world [..., 3]) — smaller score = closer to the
+    leaf's surface at p_world. Scores are absolute distances (exact for
+    sphere/plane, good local approximations for box/cylinder edges)."""
+    q = tape.leaf_rot[leaf]
+    pos = tape.leaf_pos[leaf]
+    p = quat.rotate(q, p_world - pos)
+    prm = tape.leaf_params[leaf]
+    t = tape.leaf_types[leaf]
+    if t == NodeType.SPHERE:
+        r = prm[0]
+        score = jnp.abs(jnp.linalg.norm(p, axis=-1) - r)
+        n_local = intersect.sphere_normal(p, jnp.linalg.norm(p, axis=-1) + 1e-12)
+    elif t == NodeType.INFINITE_PLANAR_PARTITION:
+        n = prm[:3]
+        score = jnp.abs(jnp.sum(p * n, axis=-1))
+        n_local = intersect.halfspace_normal(p, n)
+    elif t == NodeType.BOX:
+        he = prm[:3]
+        d_faces = he - jnp.abs(p)  # >=0 inside each slab
+        score = jnp.min(jnp.abs(d_faces), axis=-1)
+        n_local = intersect.box_normal(p, he)
+    elif t == NodeType.CYLINDER:
+        r, h = prm[0], prm[1]
+        side = jnp.abs(
+            jnp.sqrt(p[..., 0] ** 2 + p[..., 2] ** 2) - r
+        )
+        cap = jnp.abs(jnp.abs(p[..., 1]) - h)
+        score = jnp.minimum(side, cap)
+        n_local = intersect.cylinder_normal(p, r, h)
+    else:  # pragma: no cover
+        raise ValueError(f"bad leaf type {t}")
+    n_world = quat.rotate(quat.conjugate(q), n_local)
+    return score, n_world
+
+
+class TapeHit:
+    """Plain struct of hit arrays (all leading dims = ray batch)."""
+
+    def __init__(self, t, hit, entering, normal, mat_kind, albedo, mat_param):
+        self.t = t
+        self.hit = hit
+        self.entering = entering
+        self.normal = normal  # outward leaf normal, world frame
+        self.mat_kind = mat_kind
+        self.albedo = albedo
+        self.mat_param = mat_param
+
+
+def tape_nearest_hit(
+    tape: CompiledTape, o: Array, d: Array, eps: float = 1e-3
+) -> TapeHit:
+    """Full CSG query: nearest surface + attribution for shading."""
+    t_in, t_out = eval_tape_intervals(tape, o, d)
+    t_hit, entering, hit = interval.first_surface(t_in, t_out, eps=eps)
+    t_safe = jnp.where(hit, t_hit, 1.0)
+    p = o + t_safe[..., None] * d
+
+    scores, normals = [], []
+    for leaf in range(tape.n_leaves):
+        s, n = _leaf_surface_score_and_normal(tape, leaf, p)
+        scores.append(s)
+        normals.append(n)
+    scores = jnp.stack(scores, axis=-1)  # [..., L]
+    normals = jnp.stack(normals, axis=-2)  # [..., L, 3]
+    owner = jnp.argmin(scores, axis=-1)  # [...]
+    normal = jnp.take_along_axis(
+        normals, owner[..., None, None].repeat(3, axis=-1), axis=-2
+    )[..., 0, :]
+    return TapeHit(
+        t=t_hit,
+        hit=hit,
+        entering=entering,
+        normal=normal,
+        mat_kind=tape.mat_kind[owner],
+        albedo=tape.albedo[owner],
+        mat_param=tape.mat_param[owner],
+    )
