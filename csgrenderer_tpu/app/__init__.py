@@ -1,0 +1,11 @@
+from .loop import App
+from .renderers import PathTraceRenderer, WololoRenderer
+from .stats import FrameStats, StatsClock
+
+__all__ = [
+    "App",
+    "FrameStats",
+    "StatsClock",
+    "PathTraceRenderer",
+    "WololoRenderer",
+]

@@ -1,0 +1,115 @@
+"""Host-side render-loop driver — the TPU-native ``wo_app``.
+
+Re-expresses the reference's app layer (``src/wololo/app.{h,c}``) for a
+headless accelerator world:
+
+- ``App`` mirrors ``wo_app_new`` (target updates/sec, size, caption,
+  init/update/deinit callbacks, ``app.h:24-31``) and ``wo_app_run``'s
+  fixed-timestep lag-accumulator loop (``app.c:136-154``): update callbacks
+  fire at a fixed simulation rate however long frames take.
+- The window/present half of the reference collapses into a frame *sink*
+  (save PNGs, accumulate, stream — any callable), and the GPU submit/fence
+  machinery collapses into JAX async dispatch: ``draw_frame`` returns a
+  device array future; the loop only blocks when the sink consumes it.
+  (The reference instead blocked every frame on ``vkQueueWaitIdle``,
+  renderer.c:2212 — the quirk we deliberately do NOT reproduce.)
+- The singleton assert (``app.c:54``) is dropped: Apps are plain objects.
+
+A "scene renderer" is anything with ``draw_frame(time_sec) -> image`` —
+see demos/ for concrete ones; ``wo_app_swap_scene`` becomes ``swap_scene``.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from .stats import StatsClock
+
+
+@dataclass
+class App:
+    target_updates_per_sec: float = 60.0
+    width: int = 1280
+    height: int = 720
+    caption: str = "csgr"
+    init_cb: Optional[Callable] = None  # (app, w, h, caption, target_frame_time)->bool
+    update_cb: Optional[Callable] = None  # (app, dt_sec)
+    deinit_cb: Optional[Callable] = None  # (app,)
+    frame_sink: Optional[Callable] = None  # (frame_index, image)->None
+    stats: StatsClock = field(default_factory=StatsClock)
+
+    _renderer: object = None
+    _running: bool = False
+
+    def swap_scene(self, renderer) -> None:
+        """== wo_app_swap_scene (app.c:216): installs the active renderer."""
+        self._renderer = renderer
+
+    @property
+    def renderer(self):
+        return self._renderer
+
+    def stop(self) -> None:
+        self._running = False
+
+    def run(
+        self,
+        max_frames: Optional[int] = None,
+        max_seconds: Optional[float] = None,
+        time_fn: Callable[[], float] = time.monotonic,
+    ) -> bool:
+        """Fixed-timestep loop (app.c:74-214 semantics, headless).
+
+        Returns True on clean completion (init returning False aborts, like
+        the reference's ``wo_app_run`` failure path).
+        """
+        update_dt = 1.0 / self.target_updates_per_sec
+        if self.init_cb is not None:
+            ok = self.init_cb(self, self.width, self.height, self.caption, update_dt)
+            if not ok:
+                return False
+        if self._renderer is None:
+            # The reference would crash on a NULL renderer in frame 1
+            # (SURVEY §3.1); we fail cleanly instead.
+            if self.deinit_cb is not None:
+                self.deinit_cb(self)
+            return False
+
+        self._running = True
+        start = time_fn()
+        prev = start
+        lag = 0.0
+        frame = 0
+        try:
+            while self._running:
+                now = time_fn()
+                elapsed, prev = now - prev, now
+                lag += elapsed
+
+                # fixed-timestep updates (app.c:151-154)
+                while lag >= update_dt:
+                    if self.update_cb is not None:
+                        self.update_cb(self, update_dt)
+                    lag -= update_dt
+
+                t_sim = now - start
+                image = self._renderer.draw_frame(t_sim)
+                if self.frame_sink is not None:
+                    self.frame_sink(frame, image)
+                frame += 1
+
+                frame_dt = time_fn() - now
+                rays = getattr(self._renderer, "last_frame_rays", 0)
+                self.stats.frame(frame_dt, rays=int(rays), now=time_fn())
+
+                if max_frames is not None and frame >= max_frames:
+                    break
+                if max_seconds is not None and time_fn() - start >= max_seconds:
+                    break
+        finally:
+            self._running = False
+            if self.deinit_cb is not None:
+                self.deinit_cb(self)
+        return True

@@ -1,0 +1,128 @@
+"""Renderer objects: the ``Wo_Renderer`` equivalents driven by the App loop.
+
+A renderer owns a scene + camera + RenderConfig and exposes
+``draw_frame(time_sec) -> image`` (uint8 [H,W,3]) — the analog of
+``wo_renderer_draw_frame`` (renderer.h:20) — plus ``last_frame_rays`` for the
+stats clock. The jitted frame function is compiled once per (scene topology,
+config); per-frame state (time, accumulation) flows through arguments, the
+functional replacement for the reference's uniform-buffer update
+(renderer.c:2132-2155).
+
+- ``WololoRenderer``       — milestone-01 animated frame (config 1)
+- ``PathTraceRenderer``    — any SphereScene or CompiledTape, optional
+                             per-frame animation fn, optional progressive
+                             accumulation across frames (config 2/3/4/5)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..camera.pinhole import Camera
+from ..io.checkpoint import Accumulator
+from ..render import integrator, tonemap
+from ..render.integrator import SphereScene
+from ..scene.tape import CompiledTape
+from ..utils.config import RenderConfig
+
+
+class WololoRenderer:
+    """Draws the reference's hard-coded animated-sphere frame (config 1)."""
+
+    def __init__(self, config: RenderConfig):
+        self.config = config
+        self.last_frame_rays = config.width * config.height  # 1 primary/px
+        self._frame = jax.jit(
+            lambda t: tonemap.to_uint8(
+                tonemap.tonemap(
+                    integrator.render_wololo_frame(t, config.width, config.height),
+                    gamma=1.0,  # the reference writes linear color (SURVEY §2)
+                )
+            )
+        )
+
+    def draw_frame(self, time_sec: float):
+        return self._frame(jnp.float32(time_sec))
+
+
+class PathTraceRenderer:
+    """Path-traces a scene each frame; optionally accumulates progressively.
+
+    ``animate``: optional ``(scene, time_sec) -> scene`` applied inside jit
+    per frame (e.g. CompiledTape.with_edges for config 5).
+    ``progressive``: accumulate samples across frames instead of restarting
+    (each frame adds ``config.spp`` samples); ``reset_accumulation()`` clears.
+    """
+
+    def __init__(
+        self,
+        scene,
+        camera: Camera,
+        config: RenderConfig,
+        animate: Optional[Callable] = None,
+        progressive: bool = False,
+        sample_offset: int = 0,
+    ):
+        self.scene = scene
+        self.camera = camera
+        self.config = config
+        self.progressive = progressive
+        self.accumulator = Accumulator.zeros(config.height, config.width)
+        self.last_frame_rays = 0
+        self._sample_offset = sample_offset
+
+        cfg = config
+
+        def frame(scene, t, sample_base):
+            if animate is not None:
+                scene = animate(scene, t)
+            hit_fn = _hit_fn_for(scene, eps=1e-3)
+            radiance, rays = integrator.render_image(
+                hit_fn,
+                camera,
+                cfg.width,
+                cfg.height,
+                spp=cfg.spp,
+                max_bounces=cfg.max_bounces,
+                seed=cfg.seed,
+                sky=cfg.sky,
+                jitter=cfg.jitter,
+                lens=cfg.lens,
+                sample_offset=sample_base,
+            )
+            return radiance, rays
+
+        self._frame = jax.jit(frame)
+        self._tonemap = jax.jit(
+            lambda lin: tonemap.to_uint8(tonemap.tonemap(lin, gamma=cfg.gamma))
+        )
+
+    def reset_accumulation(self) -> None:
+        self.accumulator = Accumulator.zeros(self.config.height, self.config.width)
+        self._sample_offset = 0
+
+    def draw_frame(self, time_sec: float):
+        radiance, rays = self._frame(
+            self.scene, jnp.float32(time_sec), jnp.int32(self._sample_offset)
+        )
+        self.last_frame_rays = int(rays)
+        if self.progressive:
+            self.accumulator = self.accumulator.add(
+                radiance * self.config.spp, self.config.spp, rays
+            )
+            self._sample_offset += self.config.spp
+            return self._tonemap(self.accumulator.image())
+        return self._tonemap(radiance)
+
+
+def _hit_fn_for(scene, eps: float = 1e-3):
+    if isinstance(scene, SphereScene):
+        return partial(SphereScene.nearest_hit, scene, eps=eps)
+    if isinstance(scene, CompiledTape):
+        return partial(integrator.tape_hit_adapter, scene, eps=eps)
+    raise TypeError(f"unsupported scene type {type(scene)}")

@@ -1,0 +1,15 @@
+from .scenes import (
+    animated_csg_scene,
+    config3_csg_scene,
+    milestone01_scene_graph,
+    rtiow_final_scene,
+    two_spheres_scene,
+)
+
+__all__ = [
+    "milestone01_scene_graph",
+    "two_spheres_scene",
+    "config3_csg_scene",
+    "rtiow_final_scene",
+    "animated_csg_scene",
+]

@@ -1,0 +1,164 @@
+"""Built-in scene families — one per BASELINE.json benchmark config.
+
+These are the framework's "model zoo": the content the demos, goldens and
+benchmarks all share. Construction is host-side (numpy) and deterministic.
+
+1. ``milestone01_scene_graph`` — the reference demo's scene-graph build
+   (two unit spheres + union, ``src/wololo_demo/main.c:40-45``). NOTE: like
+   the reference, what the *shader* draws for milestone-01 is the hard-coded
+   animated sphere — use ``render.render_wololo_frame`` for the image; this
+   graph exists for API-parity tests.
+2. ``two_spheres_scene`` — RTIOW diffuse: small sphere on a huge ground
+   sphere (the book's r=100 trick), Lambertian, 8-bounce.
+3. ``config3_csg_scene`` — (sphere ∪ box) ∖ cylinder, materials per leaf.
+4. ``rtiow_final_scene`` — the book's final scene: ~480 random small spheres
+   with diffuse/metal/glass materials + 3 hero spheres + ground.
+5. ``animated_csg_scene`` — depth-8 CSG tree with time-varying edge
+   transforms, for the 4K progressive config.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..render.integrator import SphereScene
+from ..scene.graph import Material, NodeArgument, SceneGraph
+from ..math import quaternion as quat
+
+
+def milestone01_scene_graph() -> SceneGraph:
+    g = SceneGraph(max_node_count=8, name="Test1Render")
+    s1 = g.add_sphere_node(1.0)
+    s2 = g.add_sphere_node(1.0)
+    g.add_union_of_node(NodeArgument(s1), NodeArgument(s2))
+    return g
+
+
+def two_spheres_scene() -> SphereScene:
+    """Config 2: one diffuse sphere resting on a diffuse 'ground plane'
+    (RTIOW's giant-sphere ground, radius 1000)."""
+    centers = np.array(
+        [
+            [0.0, 0.0, -1.0],
+            [0.0, -1000.5, -1.0],
+        ],
+        np.float32,
+    )
+    radii = np.array([0.5, 1000.0], np.float32)
+    mat_kind = np.array([1, 1], np.int32)  # lambertian
+    albedo = np.array([[0.7, 0.3, 0.3], [0.8, 0.8, 0.0]], np.float32)
+    mat_param = np.zeros(2, np.float32)
+    return SphereScene(
+        centers=jnp.asarray(centers),
+        radii=jnp.asarray(radii),
+        mat_kind=jnp.asarray(mat_kind),
+        albedo=jnp.asarray(albedo),
+        mat_param=jnp.asarray(mat_param),
+    )
+
+
+def config3_csg_scene() -> SceneGraph:
+    """Config 3: (sphere ∪ box) ∖ cylinder with distinct diffuse materials."""
+    g = SceneGraph(max_node_count=16, name="csg-boolean")
+    s = g.add_sphere_node(1.0, Material.lambertian((0.75, 0.25, 0.25)))
+    b = g.add_box_node((0.8, 0.8, 0.8), Material.lambertian((0.25, 0.75, 0.25)))
+    c = g.add_cylinder_node(0.55, 1.6, Material.lambertian((0.25, 0.25, 0.75)))
+    u = g.add_union_of_node(
+        NodeArgument(s, offset=(-0.3, 0.0, 0.0)),
+        NodeArgument(b, offset=(0.5, 0.0, 0.0)),
+    )
+    g.add_difference_of_node(NodeArgument(u), NodeArgument(c))
+    return g
+
+
+def rtiow_final_scene(seed: int = 42, grid: int = 11) -> SphereScene:
+    """Config 4: the RTIOW final scene (the book's 'where next?' cover).
+
+    Deterministic via a seeded numpy Generator. ``grid=11`` gives the book's
+    22x22 candidate lattice (~480 small spheres kept) + ground + 3 heroes.
+    """
+    rng = np.random.default_rng(seed)
+    centers, radii, kinds, albedos, params = [], [], [], [], []
+
+    def add(c, r, kind, alb, prm=0.0):
+        centers.append(c)
+        radii.append(r)
+        kinds.append(kind)
+        albedos.append(alb)
+        params.append(prm)
+
+    add([0.0, -1000.0, 0.0], 1000.0, 1, [0.5, 0.5, 0.5])  # ground
+
+    for a in range(-grid, grid):
+        for b in range(-grid, grid):
+            choose = rng.random()
+            center = [
+                a + 0.9 * rng.random(),
+                0.2,
+                b + 0.9 * rng.random(),
+            ]
+            if np.linalg.norm(np.array(center) - np.array([4.0, 0.2, 0.0])) <= 0.9:
+                continue
+            if choose < 0.8:  # diffuse
+                alb = (rng.random(3) * rng.random(3)).tolist()
+                add(center, 0.2, 1, alb)
+            elif choose < 0.95:  # metal
+                alb = (0.5 + 0.5 * rng.random(3)).tolist()
+                fuzz = 0.5 * rng.random()
+                add(center, 0.2, 2, alb, fuzz)
+            else:  # glass
+                add(center, 0.2, 3, [1.0, 1.0, 1.0], 1.5)
+
+    add([0.0, 1.0, 0.0], 1.0, 3, [1.0, 1.0, 1.0], 1.5)  # glass hero
+    add([-4.0, 1.0, 0.0], 1.0, 1, [0.4, 0.2, 0.1])  # diffuse hero
+    add([4.0, 1.0, 0.0], 1.0, 2, [0.7, 0.6, 0.5], 0.0)  # metal hero
+
+    return SphereScene(
+        centers=jnp.asarray(np.array(centers, np.float32)),
+        radii=jnp.asarray(np.array(radii, np.float32)),
+        mat_kind=jnp.asarray(np.array(kinds, np.int32)),
+        albedo=jnp.asarray(np.array(albedos, np.float32)),
+        mat_param=jnp.asarray(np.array(params, np.float32)),
+    )
+
+
+def animated_csg_scene(n_levels: int = 8):
+    """Config 5: a depth-``n_levels`` CSG tree whose edges animate over time.
+
+    Returns (graph, animate_fn) where ``animate_fn(tape, t) -> tape`` updates
+    edge quaternions/offsets *inside jit* (tape.with_edges) — the TPU-native
+    version of "time-varying transforms" with zero recompiles.
+
+    Structure: a chain  (((sphere ∪ s1) ∖ s2) ∪ s3) ...  alternating union /
+    difference so every level stays visually meaningful, each child orbiting
+    its parent.
+    """
+    g = SceneGraph(max_node_count=64, name="animated-deep-csg")
+    palette = [
+        (0.9, 0.3, 0.3), (0.3, 0.9, 0.3), (0.3, 0.3, 0.9), (0.9, 0.9, 0.3),
+        (0.9, 0.3, 0.9), (0.3, 0.9, 0.9), (0.8, 0.5, 0.2), (0.6, 0.6, 0.9),
+    ]
+    node = g.add_sphere_node(1.0, Material.lambertian(palette[0]))
+    for level in range(1, n_levels):
+        child = g.add_sphere_node(
+            0.3 + 0.4 / level, Material.lambertian(palette[level % len(palette)])
+        )
+        arg_parent = NodeArgument(node)
+        arg_child = NodeArgument(child, offset=(1.0 + 0.15 * level, 0.0, 0.0))
+        if level % 3 == 2:
+            node = g.add_difference_of_node(arg_parent, arg_child)
+        else:
+            node = g.add_union_of_node(arg_parent, arg_child)
+
+    def animate(tape, t):
+        """Orbit each animated child about the y axis at its own rate."""
+        t = jnp.asarray(t, jnp.float32)
+        e = tape.edge_quat.shape[0]
+        idx = jnp.arange(e, dtype=jnp.float32)
+        angles = t * (0.3 + 0.15 * idx)
+        axis = jnp.tile(jnp.array([[0.0, 1.0, 0.0]], jnp.float32), (e, 1))
+        new_q = quat.from_axis_angle(axis, angles)
+        return tape.with_edges(new_q, tape.edge_off)
+
+    return g, animate

@@ -204,21 +204,23 @@ def render_image(
     sky: str = "rtiow",
     jitter: bool = True,
     lens: bool = False,
+    sample_offset=0,
 ) -> tuple[Array, Array]:
     """Render a linear-radiance image [H, W, 3]; also returns rays traced.
 
     Samples run as a ``lax.fori_loop`` over spp (one compiled body), each
     sample jittering the pixel position with the counter-based RNG so results
-    are identical under any pixel sharding.
+    are identical under any pixel sharding. ``sample_offset`` advances the
+    per-sample RNG counters for progressive rendering across frames.
     """
     ys = jnp.arange(height, dtype=jnp.uint32)
     xs = jnp.arange(width, dtype=jnp.uint32)
     pixel_id = (ys[:, None] * jnp.uint32(width) + xs[None, :])  # [H, W]
+    sample_offset = jnp.asarray(sample_offset, jnp.uint32)
 
-    def one_sample(s, acc):
-        u = uniform4(
-            pixel_id, jnp.uint32(s), jnp.uint32(0xA5A5A5A5), jnp.uint32(seed)
-        )
+    def one_sample(si, acc):
+        s = jnp.uint32(si) + sample_offset
+        u = uniform4(pixel_id, s, jnp.uint32(0xA5A5A5A5), jnp.uint32(seed))
         if jitter:
             jx, jy = u[..., 0], u[..., 1]
         else:

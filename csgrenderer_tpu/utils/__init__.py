@@ -1,0 +1,10 @@
+from .config import MeshConfig, RenderConfig, disable_debug_mode, enable_debug_mode
+from .logging import get_logger
+
+__all__ = [
+    "MeshConfig",
+    "RenderConfig",
+    "enable_debug_mode",
+    "disable_debug_mode",
+    "get_logger",
+]

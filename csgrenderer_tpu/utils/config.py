@@ -1,0 +1,69 @@
+"""Typed runtime configuration.
+
+The reference's config story is two compile-time macros and CWD-relative
+shader paths (``src/wololo/config.h:3-6``, SURVEY §5); here configuration is
+data: dataclasses with validation, consumed by demos/bench/CLI. Debug mode
+maps the reference's Vulkan validation layers onto JAX's checking tools
+(``renderer.c:397`` -> jax_debug_nans/checkify), toggled at runtime.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    width: int = 1280
+    height: int = 720
+    spp: int = 16
+    max_bounces: int = 8
+    seed: int = 0
+    sky: str = "rtiow"  # "rtiow" | "wololo" | "black"
+    gamma: float = 2.0
+    jitter: bool = True
+    lens: bool = False
+    interval_k: int = 8  # CSG interval-list capacity
+    debug: bool = False  # enables NaN checking (the "validation layer" mode)
+
+    def __post_init__(self):
+        if self.width <= 0 or self.height <= 0:
+            raise ValueError("resolution must be positive")
+        if self.spp <= 0 or self.max_bounces <= 0:
+            raise ValueError("spp and max_bounces must be positive")
+        if self.sky not in ("rtiow", "wololo", "black"):
+            raise ValueError(f"bad sky mode {self.sky!r}")
+
+    @property
+    def aspect_ratio(self) -> float:
+        return self.width / self.height
+
+    @property
+    def rays_per_frame(self) -> int:
+        """Ray budget metric: W*H*spp*bounces (SURVEY §5 Mrays accounting)."""
+        return self.width * self.height * self.spp * self.max_bounces
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for multi-chip rendering (parallel/)."""
+
+    tile_axis: int = 1  # ways to shard image rows
+    sample_axis: int = 1  # ways to shard samples-per-pixel
+
+    @property
+    def num_devices(self) -> int:
+        return self.tile_axis * self.sample_axis
+
+
+def enable_debug_mode() -> None:
+    """The 'validation layer' switch (SURVEY §5): NaN debugging on."""
+    import jax
+
+    jax.config.update("jax_debug_nans", True)
+
+
+def disable_debug_mode() -> None:
+    import jax
+
+    jax.config.update("jax_debug_nans", False)
