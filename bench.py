@@ -1,0 +1,149 @@
+"""Benchmark harness: Mrays/sec/chip on the RTIOW final scene (BASELINE.json).
+
+Prints ONE JSON line:
+  {"metric": "Mrays/sec/chip", "value": N, "unit": "Mrays/s",
+   "vs_baseline": N/500, ...}
+
+Rays are counted as actually-traced path segments (sum of active rays over
+every bounce of every sample), matching SURVEY §5's accounting. The p50
+frame time at 16 spp is reported alongside as a secondary metric.
+
+Usage:
+  python bench.py              # full: 1080p, 64 spp (the BASELINE config)
+  python bench.py --quick      # small sanity run (CPU-friendly)
+  python bench.py --backend jnp|pallas   # force a backend (default: auto)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_MRAYS = 500.0
+
+
+def build_renderer(width, height, spp, max_bounces, backend):
+    from csgrenderer_tpu.camera import Camera
+    from csgrenderer_tpu.models import rtiow_final_scene
+    from csgrenderer_tpu.render.integrator import render_image
+
+    scene = rtiow_final_scene()
+    camera = Camera.look_at(
+        (13.0, 2.0, 3.0),
+        (0.0, 0.0, 0.0),
+        vfov_degrees=20.0,
+        aspect_ratio=width / height,
+        aperture=0.1,
+        focus_dist=10.0,
+    )
+
+    if backend == "pallas":
+        from csgrenderer_tpu.kernels import render_image_pallas
+
+        def run(sample_offset):
+            return render_image_pallas(
+                scene,
+                camera,
+                width,
+                height,
+                spp=spp,
+                max_bounces=max_bounces,
+                seed=0,
+                lens=True,
+                sample_offset=sample_offset,
+            )
+
+    else:
+
+        def run(sample_offset):
+            return render_image(
+                scene.nearest_hit,
+                camera,
+                width,
+                height,
+                spp=spp,
+                max_bounces=max_bounces,
+                seed=0,
+                lens=True,
+                sample_offset=sample_offset,
+            )
+
+    return jax.jit(run)
+
+
+def pick_backend(requested: str) -> str:
+    if requested != "auto":
+        return requested
+    try:
+        from csgrenderer_tpu.kernels import render_image_pallas  # noqa: F401
+
+        return "pallas" if jax.devices()[0].platform != "cpu" else "jnp"
+    except Exception:
+        return "jnp"
+
+
+def time_frames(fn, n_frames, spp_note=""):
+    times = []
+    total_rays = 0
+    for i in range(n_frames):
+        t0 = time.perf_counter()
+        img, rays = fn(jnp.uint32(i + 1))
+        img.block_until_ready()
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        total_rays += int(rays)
+    return times, total_rays
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--backend", default="auto", choices=["auto", "jnp", "pallas"])
+    ap.add_argument("--frames", type=int, default=3)
+    args = ap.parse_args()
+
+    backend = pick_backend(args.backend)
+    platform = jax.devices()[0].platform
+
+    if args.quick:
+        width, height, spp, bounces = 320, 180, 4, 8
+    else:
+        width, height, spp, bounces = 1920, 1080, 64, 8
+
+    # --- main throughput config ---
+    fn = build_renderer(width, height, spp, bounces, backend)
+    fn(jnp.uint32(0))[0].block_until_ready()  # compile + warm up
+    times, rays = time_frames(fn, args.frames)
+    total_time = sum(times)
+    mrays = rays / total_time / 1e6
+
+    # --- secondary: p50 frame time at 16 spp ---
+    fn16 = build_renderer(width, height, 16 if not args.quick else 2, bounces, backend)
+    fn16(jnp.uint32(0))[0].block_until_ready()
+    t16, _ = time_frames(fn16, max(args.frames, 3))
+    p50_ms = statistics.median(t16) * 1e3
+
+    result = {
+        "metric": "Mrays/sec/chip",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+        "config": f"RTIOW-final {width}x{height} spp={spp} bounces={bounces}",
+        "p50_frame_ms_16spp": round(p50_ms, 2),
+        "backend": backend,
+        "platform": platform,
+        "frames": args.frames,
+        "rays": rays,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,10 @@
+from .mesh import SAMPLE_AXIS, TILE_AXIS, make_mesh, single_device_mesh
+from .shard import render_image_sharded
+
+__all__ = [
+    "TILE_AXIS",
+    "SAMPLE_AXIS",
+    "make_mesh",
+    "single_device_mesh",
+    "render_image_sharded",
+]

@@ -1,0 +1,104 @@
+"""Multi-chip rendering via shard_map over the ("tile", "sample") mesh.
+
+Decomposition (SURVEY §5 "long-context" slot, done the TPU way):
+
+- the image's ROW dimension is sharded over the "tile" axis — no halo, rays
+  are independent, so the only collective the image needs is the output
+  layout itself;
+- SAMPLES-per-pixel are sharded over the "sample" axis — each device renders
+  ``spp / sample_ways`` samples with a disjoint ``sample_offset``, and a
+  single ``psum`` over "sample" (riding ICI) accumulates radiance and ray
+  counts;
+- RNG is counter-based per global (pixel, sample) (render/sampling.py), so
+  the result is bit-identical to the single-device render for ANY mesh
+  shape — the property SURVEY §7 hard part #4 demands, and what the
+  multi-device CPU tests assert.
+
+The scene (small arrays) is replicated; there is no parameter sharding to
+do — the analog of "model state" is kilobytes, the work is all compute.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..render import integrator
+from .mesh import SAMPLE_AXIS, TILE_AXIS
+
+
+def render_image_sharded(
+    hit_fn,
+    camera,
+    width: int,
+    height: int,
+    mesh: Mesh,
+    spp: int = 1,
+    max_bounces: int = 8,
+    seed: int = 0,
+    sky: str = "rtiow",
+    jitter: bool = True,
+    lens: bool = False,
+    sample_offset: int = 0,
+):
+    """Sharded equivalent of ``integrator.render_image``.
+
+    Returns (radiance [H, W, 3] — sharded over rows on the tile axis,
+    replicated over sample — and total rays traced). Requires ``height``
+    divisible by the tile ways and ``spp`` by the sample ways.
+    """
+    tile_ways = mesh.shape[TILE_AXIS]
+    sample_ways = mesh.shape[SAMPLE_AXIS]
+    if height % tile_ways:
+        raise ValueError(f"height {height} not divisible by tile axis {tile_ways}")
+    if spp % sample_ways:
+        raise ValueError(f"spp {spp} not divisible by sample axis {sample_ways}")
+    rows_local = height // tile_ways
+    spp_local = spp // sample_ways
+
+    def shard_fn():
+        tile_idx = lax.axis_index(TILE_AXIS)
+        sample_idx = lax.axis_index(SAMPLE_AXIS)
+        y0 = tile_idx.astype(jnp.uint32) * jnp.uint32(rows_local)
+        s0 = (
+            jnp.uint32(sample_offset)
+            + sample_idx.astype(jnp.uint32) * jnp.uint32(spp_local)
+        )
+        radiance_sum, rays = integrator.render_tile(
+            hit_fn,
+            camera,
+            width,
+            height,
+            0,
+            y0,
+            width,
+            rows_local,
+            spp=spp_local,
+            max_bounces=max_bounces,
+            seed=seed,
+            sky=sky,
+            jitter=jitter,
+            lens=lens,
+            sample_offset=s0,
+        )
+        radiance_sum = lax.psum(radiance_sum, SAMPLE_AXIS)
+        rays = lax.psum(rays, (TILE_AXIS, SAMPLE_AXIS))
+        return radiance_sum[None] / spp, rays
+
+    # check_vma=False: the integrator's fori_loop carries start as
+    # device-invariant zeros and only become device-varying through the loop
+    # body (tile/sample offsets); the varying-axis checker rejects that mixed
+    # carry even though the program is correct under manual sharding.
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(),
+        out_specs=(P(TILE_AXIS, None, None, None), P()),
+        check_vma=False,
+    )
+    stacked, rays = fn()
+    return stacked.reshape(height, width, 3), rays

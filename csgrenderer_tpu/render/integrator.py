@@ -193,6 +193,74 @@ def trace_paths(
     return state["radiance"], state["rays"]
 
 
+def render_tile(
+    hit_fn: HitFn,
+    camera,
+    full_width: int,
+    full_height: int,
+    tile_x0,
+    tile_y0,
+    tile_width: int,
+    tile_height: int,
+    spp: int = 1,
+    max_bounces: int = 8,
+    seed: int = 0,
+    sky: str = "rtiow",
+    jitter: bool = True,
+    lens: bool = False,
+    sample_offset=0,
+) -> tuple[Array, Array]:
+    """Render a sub-rectangle of a ``full_width x full_height`` image.
+
+    The sharding primitive: pixel ids, camera st coords and RNG counters are
+    all functions of *global* pixel coordinates, so any tiling of the image
+    across devices (or any ``sample_offset`` split of spp across devices)
+    composes to exactly the single-device image. ``tile_x0/tile_y0`` may be
+    traced values (shard_map axis offsets).
+
+    Returns (radiance_sum [th, tw, 3] — NOT divided by spp — and rays traced).
+    """
+    tile_x0 = jnp.asarray(tile_x0, jnp.uint32)
+    tile_y0 = jnp.asarray(tile_y0, jnp.uint32)
+    ys = tile_y0 + jnp.arange(tile_height, dtype=jnp.uint32)[:, None]  # [th,1]
+    xs = tile_x0 + jnp.arange(tile_width, dtype=jnp.uint32)[None, :]  # [1,tw]
+    pixel_id = ys * jnp.uint32(full_width) + xs  # [th, tw] global ids
+    sample_offset = jnp.asarray(sample_offset, jnp.uint32)
+
+    def one_sample(si, acc):
+        s = jnp.uint32(si) + sample_offset
+        u = uniform4(pixel_id, s, jnp.uint32(0xA5A5A5A5), jnp.uint32(seed))
+        if jitter:
+            jx, jy = u[..., 0], u[..., 1]
+        else:
+            jx = jnp.full(pixel_id.shape, 0.5, jnp.float32)
+            jy = jx
+        st_x = (xs.astype(jnp.float32) + jx) / full_width
+        st_y = 1.0 - (ys.astype(jnp.float32) + jy) / full_height
+        if lens:
+            lens_uv = sample_in_unit_disk(u[..., 2], u[..., 3])
+            o, d = camera.rays(st_x, st_y, lens_uv=lens_uv)
+        else:
+            o, d = camera.rays(st_x, st_y)
+        radiance, rays = trace_paths(
+            hit_fn,
+            o,
+            d,
+            pixel_id,
+            s,
+            seed,
+            max_bounces,
+            sky=sky,
+        )
+        return acc[0] + radiance, acc[1] + rays
+
+    acc0 = (
+        jnp.zeros((tile_height, tile_width, 3), jnp.float32),
+        jnp.zeros((), jnp.int64 if jax.config.x64_enabled else jnp.int32),
+    )
+    return jax.lax.fori_loop(0, spp, one_sample, acc0)
+
+
 def render_image(
     hit_fn: HitFn,
     camera,
@@ -213,43 +281,23 @@ def render_image(
     are identical under any pixel sharding. ``sample_offset`` advances the
     per-sample RNG counters for progressive rendering across frames.
     """
-    ys = jnp.arange(height, dtype=jnp.uint32)
-    xs = jnp.arange(width, dtype=jnp.uint32)
-    pixel_id = (ys[:, None] * jnp.uint32(width) + xs[None, :])  # [H, W]
-    sample_offset = jnp.asarray(sample_offset, jnp.uint32)
-
-    def one_sample(si, acc):
-        s = jnp.uint32(si) + sample_offset
-        u = uniform4(pixel_id, s, jnp.uint32(0xA5A5A5A5), jnp.uint32(seed))
-        if jitter:
-            jx, jy = u[..., 0], u[..., 1]
-        else:
-            jx = jnp.full(pixel_id.shape, 0.5, jnp.float32)
-            jy = jx
-        st_x = (xs[None, :].astype(jnp.float32) + jx) / width
-        st_y = 1.0 - (ys[:, None].astype(jnp.float32) + jy) / height
-        if lens:
-            lens_uv = sample_in_unit_disk(u[..., 2], u[..., 3])
-            o, d = camera.rays(st_x, st_y, lens_uv=lens_uv)
-        else:
-            o, d = camera.rays(st_x, st_y)
-        radiance, rays = trace_paths(
-            hit_fn,
-            o,
-            d,
-            pixel_id,
-            jnp.uint32(s),
-            seed,
-            max_bounces,
-            sky=sky,
-        )
-        return acc[0] + radiance, acc[1] + rays
-
-    acc0 = (
-        jnp.zeros((height, width, 3), jnp.float32),
-        jnp.zeros((), jnp.int64 if jax.config.x64_enabled else jnp.int32),
+    image_sum, rays = render_tile(
+        hit_fn,
+        camera,
+        width,
+        height,
+        0,
+        0,
+        width,
+        height,
+        spp=spp,
+        max_bounces=max_bounces,
+        seed=seed,
+        sky=sky,
+        jitter=jitter,
+        lens=lens,
+        sample_offset=sample_offset,
     )
-    image_sum, rays = jax.lax.fori_loop(0, spp, one_sample, acc0)
     return image_sum / spp, rays
 
 
