@@ -1,0 +1,483 @@
+"""Fused Pallas TPU path-tracing megakernel for sphere scenes.
+
+This is the perf path for the headline benchmark (RTIOW final scene,
+BASELINE.json) — the TPU-native realization of the reference's fragment
+ubershader (``ubershader1.frag:97-163``), grown to the full RTIOW material
+set, with the entire sample loop x bounce loop fused into one kernel so ray
+state never leaves VMEM/registers.
+
+Why the pure-XLA path is slow: at 1080p a wave of rays against ~500 spheres
+materializes [N, S] intermediates in HBM (hundreds of MB per elementwise
+op) — memory-bound at ~9 Mrays/s measured. Here each grid step owns a
+1024-ray tile whose [S, 128] intersection matrices live entirely on-chip.
+
+Layout decisions (the heart of the design):
+
+- Per-ray state (origins, directions, throughput, radiance) is stored as
+  [8, 128] component planes — the native f32 VPU tile — so all per-ray math
+  runs at full lane utilization with zero relayouts.
+- The sphere test processes one plane row (128 rays) at a time against all
+  spheres as [S, 128] tiles: per-ray scalars enter as natural [1, 128] row
+  slices, per-sphere constants as [S, 1] columns; the quadratic's cross
+  terms are two tiny MXU matmuls ([S,4] @ [4,128]) via precomputed
+  H = (-c, 1) and G = (-2c, |c|^2 - r^2) matrices, so the VPU only does the
+  ~12-op discriminant/root/select chain per (ray, sphere).
+- Nearest-hit attributes are fetched with a one-hot MXU matmul
+  ([16, S] @ [S, 128]) instead of a gather — the TPU way to index a table.
+- The bounce "recursion" is a lax.while_loop that EARLY-EXITS as soon as a
+  tile's rays are all terminated (primary-ray coherence means sky tiles pay
+  for one bounce, not max_bounces).
+- RNG is the same counter-based PCG4D as the jnp path (render/sampling.py),
+  on uint32 planes, so kernel output matches the reference implementation
+  sample-for-sample and stays sharding-invariant.
+
+Rays are counted as actually-traced segments (sum of active lanes per wave),
+matching SURVEY §5's Mrays accounting.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..camera.pinhole import Camera
+from ..render.integrator import SphereScene
+
+TILE_ROWS = 8
+TILE_LANES = 128
+TILE = TILE_ROWS * TILE_LANES  # rays per grid step
+
+BIG = np.float32(1e30)
+BIG_CUT = np.float32(5e29)
+
+# Camera scalar layout in the f32 param row (SMEM)
+_CAM_SIZE = 24
+_META_SIZE = 8  # (seed, sample_offset) + padding
+
+
+def _pcg4d_planes(a, b, c, d):
+    """PCG4D over uint32 planes (same algorithm as render/sampling.py)."""
+    mul = jnp.uint32(1664525)
+    inc = jnp.uint32(1013904223)
+    v = [x * mul + inc for x in (a, b, c, d)]
+    v[0] = v[0] + v[1] * v[3]
+    v[1] = v[1] + v[2] * v[0]
+    v[2] = v[2] + v[0] * v[1]
+    v[3] = v[3] + v[1] * v[2]
+    v = [x ^ (x >> jnp.uint32(16)) for x in v]
+    v[0] = v[0] + v[1] * v[3]
+    v[1] = v[1] + v[2] * v[0]
+    v[2] = v[2] + v[0] * v[1]
+    v[3] = v[3] + v[1] * v[2]
+    scale = jnp.float32(1.0 / 16777216.0)
+    # Mosaic has no uint32->f32 cast; after >>8 the value fits 24 bits, so
+    # int32 round-trip is exact.
+    return tuple(
+        (x >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * scale
+        for x in v
+    )
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _make_kernel(width, height, spp, max_bounces, lens, s_pad, n_pix):
+    """Build the kernel body with static config baked in."""
+
+    inv_w = np.float32(1.0 / width)
+    inv_h = np.float32(1.0 / height)
+
+    def kernel(cam_ref, meta_ref, hmat_ref, gmat_ref, attr_ref,
+               out_r_ref, out_g_ref, out_b_ref, rays_ref):
+        tile_idx = pl.program_id(0)
+        seed = meta_ref[0, 0]
+        sample_offset = meta_ref[0, 1]
+
+        cam = [cam_ref[0, i] for i in range(19)]
+        (cox, coy, coz, llx, lly, llz, hx, hy, hz, vx, vy, vz,
+         ux, uy, uz, vvx, vvy, vvz, lens_radius) = cam
+
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 0)
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 1)
+        pix = tile_idx * TILE + row_ids * TILE_LANES + lane_ids  # [8,128] i32
+        in_image = pix < n_pix
+        px = (pix % width).astype(jnp.float32)
+        py = (pix // width).astype(jnp.float32)
+        pix_u = pix.astype(jnp.uint32)
+
+        hmat = hmat_ref[:]  # [s_pad, 4]
+        gmat = gmat_ref[:]  # [s_pad, 4]
+        attr = attr_ref[:]  # [16, s_pad]
+        sphere_iota = jax.lax.broadcasted_iota(jnp.int32, (s_pad, TILE_LANES), 0)
+
+        def intersect_tile(ox, oy, oz, dx, dy, dz):
+            """Nearest hit for the whole tile. Returns planes."""
+            od = _dot3(ox, oy, oz, dx, dy, dz)
+            oo = _dot3(ox, oy, oz, ox, oy, oz)
+            a = _dot3(dx, dy, dz, dx, dy, dz)
+            inv_a = 1.0 / a
+            ones = jnp.ones_like(od)
+
+            t_rows = []
+            attr_rows = []
+            for g in range(TILE_ROWS):
+                d4 = jnp.concatenate(
+                    [dx[g:g+1], dy[g:g+1], dz[g:g+1], od[g:g+1]], axis=0
+                )  # [4,128]
+                o4 = jnp.concatenate(
+                    [ox[g:g+1], oy[g:g+1], oz[g:g+1], ones[g:g+1]], axis=0
+                )
+                half_b = jnp.dot(hmat, d4, preferred_element_type=jnp.float32)
+                cterm = jnp.dot(gmat, o4, preferred_element_type=jnp.float32)
+                cterm = cterm + oo[g:g+1]
+                a_row = a[g:g+1]
+                disc = half_b * half_b - a_row * cterm
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                inv_a_row = inv_a[g:g+1]
+                t0 = (-half_b - sq) * inv_a_row
+                t1 = (-half_b + sq) * inv_a_row
+                t = jnp.where(t0 > jnp.float32(1e-3), t0, t1)
+                valid = (disc > 0.0) & (t > jnp.float32(1e-3))
+                t = jnp.where(valid, t, BIG)
+                t_best = jnp.min(t, axis=0, keepdims=True)  # [1,128]
+                cand = jnp.where(t == t_best, sphere_iota, jnp.int32(s_pad))
+                sel = jnp.min(cand, axis=0, keepdims=True)  # [1,128]
+                onehot = (sphere_iota == sel).astype(jnp.float32)  # [s_pad,128]
+                got = jnp.dot(attr, onehot, preferred_element_type=jnp.float32)
+                t_rows.append(t_best)
+                attr_rows.append(got)  # [16,128]
+
+            t_pl = jnp.concatenate(t_rows, axis=0)  # [8,128]
+            attrs = [
+                jnp.concatenate([ar[j:j+1] for ar in attr_rows], axis=0)
+                for j in range(9)
+            ]  # cx, cy, cz, inv_r, kind, param, alb_r, alb_g, alb_b
+            return t_pl, attrs
+
+        def bounce_step(state):
+            (b, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
+             active, rays, s) = state
+
+            t_pl, (cx, cy, cz, inv_r, kind, param, ar, ag, ab) = (
+                intersect_tile(ox, oy, oz, dx, dy, dz)
+            )
+            hit = t_pl < BIG_CUT
+            t_safe = jnp.where(hit, t_pl, 1.0)
+            hx_ = ox + t_safe * dx
+            hy_ = oy + t_safe * dy
+            hz_ = oz + t_safe * dz
+            onx = (hx_ - cx) * inv_r
+            ony = (hy_ - cy) * inv_r
+            onz = (hz_ - cz) * inv_r
+            d_dot_on = _dot3(dx, dy, dz, onx, ony, onz)
+            front = d_dot_on < 0.0
+            sgn = jnp.where(front, 1.0, -1.0)
+            nx, ny, nz = onx * sgn, ony * sgn, onz * sgn
+
+            # RNG
+            u0, u1, u2, _u3 = _pcg4d_planes(
+                pix_u, s, b.astype(jnp.uint32), seed.astype(jnp.uint32)
+            )
+
+            # unit incoming direction
+            inv_len = jax.lax.rsqrt(jnp.maximum(_dot3(dx, dy, dz, dx, dy, dz),
+                                                jnp.float32(1e-20)))
+            udx, udy, udz = dx * inv_len, dy * inv_len, dz * inv_len
+
+            # random unit vector from (u0, u1)
+            z = 1.0 - 2.0 * u0
+            r_ = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+            phi = jnp.float32(2.0 * np.pi) * u1
+            rux = r_ * jnp.cos(phi)
+            ruy = r_ * jnp.sin(phi)
+            ruz = z
+
+            # lambertian
+            lamx, lamy, lamz = nx + rux, ny + ruy, nz + ruz
+            lam_deg = _dot3(lamx, lamy, lamz, lamx, lamy, lamz) < jnp.float32(1e-12)
+            lamx = jnp.where(lam_deg, nx, lamx)
+            lamy = jnp.where(lam_deg, ny, lamy)
+            lamz = jnp.where(lam_deg, nz, lamz)
+
+            # metal
+            ud_dot_n = _dot3(udx, udy, udz, nx, ny, nz)
+            rfx = udx - 2.0 * ud_dot_n * nx
+            rfy = udy - 2.0 * ud_dot_n * ny
+            rfz = udz - 2.0 * ud_dot_n * nz
+            mex = rfx + param * rux
+            mey = rfy + param * ruy
+            mez = rfz + param * ruz
+            metal_absorbed = _dot3(mex, mey, mez, nx, ny, nz) <= 0.0
+
+            # dielectric
+            ior = jnp.maximum(param, jnp.float32(1e-6))
+            eta = jnp.where(front, 1.0 / ior, ior)
+            cos_t = jnp.minimum(-ud_dot_n, 1.0)
+            sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+            cannot = eta * sin_t > 1.0
+            r0 = ((1.0 - eta) / (1.0 + eta)) ** 2
+            rp = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
+            use_refl = cannot | (u2 < rp)
+            ppx = eta * (udx + cos_t * nx)
+            ppy = eta * (udy + cos_t * ny)
+            ppz = eta * (udz + cos_t * nz)
+            pl2 = _dot3(ppx, ppy, ppz, ppx, ppy, ppz)
+            par = -jnp.sqrt(jnp.abs(1.0 - pl2))
+            refx = ppx + par * nx
+            refy = ppy + par * ny
+            refz = ppz + par * nz
+            dlx = jnp.where(use_refl, rfx, refx)
+            dly = jnp.where(use_refl, rfy, refy)
+            dlz = jnp.where(use_refl, rfz, refz)
+
+            is_lam = kind == 1.0
+            is_metal = kind == 2.0
+            is_diel = kind == 3.0
+            is_em = kind == 4.0
+            is_nm = kind == 0.0
+
+            ndx = jnp.where(is_lam, lamx, jnp.where(is_metal, mex, dlx))
+            ndy = jnp.where(is_lam, lamy, jnp.where(is_metal, mey, dly))
+            ndz = jnp.where(is_lam, lamz, jnp.where(is_metal, mez, dlz))
+            atr = jnp.where(is_diel, 1.0, ar)
+            atg = jnp.where(is_diel, 1.0, ag)
+            atb = jnp.where(is_diel, 1.0, ab)
+            emr = jnp.where(is_nm, 0.5 * (nx + 1.0), jnp.where(is_em, ar, 0.0))
+            emg = jnp.where(is_nm, 0.5 * (ny + 1.0), jnp.where(is_em, ag, 0.0))
+            emb = jnp.where(is_nm, 0.5 * (nz + 1.0), jnp.where(is_em, ab, 0.0))
+            term = is_nm | is_em | (is_metal & metal_absorbed)
+
+            # sky (rtiow gradient) for misses
+            sky_t = 0.5 * (udy + 1.0)
+            skr = (1.0 - sky_t) + sky_t * 0.5
+            skg = (1.0 - sky_t) + sky_t * 0.7
+            skb = (1.0 - sky_t) + sky_t * 1.0
+
+            missed = active & ~hit
+            hit_active = active & hit
+            rr = rr + jnp.where(missed, tr * skr, 0.0)
+            rg = rg + jnp.where(missed, tg * skg, 0.0)
+            rb = rb + jnp.where(missed, tb * skb, 0.0)
+            rr = rr + jnp.where(hit_active, tr * emr, 0.0)
+            rg = rg + jnp.where(hit_active, tg * emg, 0.0)
+            rb = rb + jnp.where(hit_active, tb * emb, 0.0)
+            tr = jnp.where(hit_active, tr * atr, tr)
+            tg = jnp.where(hit_active, tg * atg, tg)
+            tb = jnp.where(hit_active, tb * atb, tb)
+
+            ox = jnp.where(hit_active, hx_, ox)
+            oy = jnp.where(hit_active, hy_, oy)
+            oz = jnp.where(hit_active, hz_, oz)
+            dx = jnp.where(hit_active, ndx, dx)
+            dy = jnp.where(hit_active, ndy, dy)
+            dz = jnp.where(hit_active, ndz, dz)
+
+            rays = rays + active.astype(jnp.int32)
+            active = hit_active & ~term
+            return (b + 1, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
+                    active, rays, s)
+
+        def bounce_cond(state):
+            b, active = state[0], state[13]
+            return (b < max_bounces) & jnp.any(active)
+
+        def one_sample(si, carry):
+            rr, rg, rb, rays = carry
+            s = si.astype(jnp.uint32) + sample_offset.astype(jnp.uint32)
+
+            u0, u1, u2, u3 = _pcg4d_planes(
+                pix_u, jnp.broadcast_to(s, pix_u.shape),
+                jnp.uint32(0xA5A5A5A5),
+                jnp.broadcast_to(seed.astype(jnp.uint32), pix_u.shape),
+            )
+            st_x = (px + u0) * inv_w
+            st_y = 1.0 - (py + u1) * inv_h
+            if lens:
+                lr = jnp.sqrt(u2)
+                lphi = jnp.float32(2.0 * np.pi) * u3
+                rd0 = lens_radius * lr * jnp.cos(lphi)
+                rd1 = lens_radius * lr * jnp.sin(lphi)
+                offx = rd0 * ux + rd1 * vvx
+                offy = rd0 * uy + rd1 * vvy
+                offz = rd0 * uz + rd1 * vvz
+            else:
+                offx = offy = offz = jnp.zeros_like(st_x)
+            ox = cox + offx
+            oy = coy + offy
+            oz = coz + offz
+            dx = llx + st_x * hx + st_y * vx - cox - offx
+            dy = lly + st_x * hy + st_y * vy - coy - offy
+            dz = llz + st_x * hz + st_y * vz - coz - offz
+
+            zero = jnp.zeros_like(st_x)
+            one = jnp.ones_like(st_x)
+            state = (
+                jnp.int32(0), ox, oy, oz, dx, dy, dz,
+                one, one, one, zero, zero, zero,
+                in_image, jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32),
+                jnp.broadcast_to(s, pix_u.shape),
+            )
+            state = jax.lax.while_loop(bounce_cond, bounce_step, state)
+            return (rr + state[10], rg + state[11], rb + state[12],
+                    rays + state[14])
+
+        zero = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.float32)
+        zero_i = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32)
+        rr, rg, rb, rays = jax.lax.fori_loop(
+            0, spp, one_sample, (zero, zero, zero, zero_i)
+        )
+        out_r_ref[:] = rr
+        out_g_ref[:] = rg
+        out_b_ref[:] = rb
+        rays_ref[:] = rays
+
+    return kernel
+
+
+class _PackedScene(NamedTuple):
+    hmat: jax.Array  # [s_pad, 4]
+    gmat: jax.Array  # [s_pad, 4]
+    attr: jax.Array  # [16, s_pad]
+
+
+def pack_scene(scene: SphereScene) -> _PackedScene:
+    """Precompute the kernel's sphere matrices (host-side, once per scene)."""
+    c = np.asarray(scene.centers, np.float32)
+    r = np.asarray(scene.radii, np.float32)
+    kind = np.asarray(scene.mat_kind, np.float32)
+    alb = np.asarray(scene.albedo, np.float32)
+    prm = np.asarray(scene.mat_param, np.float32)
+    s = c.shape[0]
+    s_pad = max(8, int(np.ceil(s / 8)) * 8)
+
+    hmat = np.zeros((s_pad, 4), np.float32)
+    gmat = np.zeros((s_pad, 4), np.float32)
+    attr = np.zeros((16, s_pad), np.float32)
+    hmat[:s, 0:3] = -c
+    hmat[:s, 3] = 1.0
+    gmat[:s, 0:3] = -2.0 * c
+    gmat[:s, 3] = np.sum(c * c, axis=1) - r * r
+    # padding spheres: huge positive c-term constant => disc < 0 always
+    gmat[s:, 3] = 1e30
+    attr[0:3, :s] = c.T
+    attr[3, :s] = 1.0 / np.maximum(r, 1e-12)
+    attr[4, :s] = kind
+    attr[5, :s] = prm
+    attr[6:9, :s] = alb.T
+    return _PackedScene(
+        hmat=jnp.asarray(hmat),
+        gmat=jnp.asarray(gmat),
+        attr=jnp.asarray(attr),
+    )
+
+
+def pack_camera(camera: Camera) -> jax.Array:
+    vals = jnp.concatenate([
+        camera.origin, camera.lower_left, camera.horizontal, camera.vertical,
+        camera.u, camera.v, camera.lens_radius[None],
+        jnp.zeros((_CAM_SIZE - 19,), jnp.float32),
+    ])
+    return vals.reshape(1, _CAM_SIZE).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "spp", "max_bounces", "lens", "interpret"
+    ),
+)
+def _render_packed(
+    packed: _PackedScene,
+    cam_row: jax.Array,
+    width: int,
+    height: int,
+    spp: int,
+    max_bounces: int,
+    seed,
+    sample_offset,
+    lens: bool,
+    interpret: bool,
+):
+    n_pix = width * height
+    n_tiles = pl.cdiv(n_pix, TILE)
+    meta = jnp.zeros((1, _META_SIZE), jnp.int32)
+    meta = meta.at[0, 0].set(jnp.asarray(seed, jnp.int32))
+    meta = meta.at[0, 1].set(jnp.asarray(sample_offset, jnp.int32))
+
+    s_pad = packed.hmat.shape[0]  # static via the array shape
+    kernel = _make_kernel(
+        width, height, spp, max_bounces, lens, s_pad, n_pix
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, TILE_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, TILE_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, TILE_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, TILE_LANES), jnp.int32),
+    )
+    plane_spec = pl.BlockSpec(
+        (TILE_ROWS, TILE_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    r, g, b, rays = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cam row
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # hmat
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # gmat
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # attr
+        ],
+        out_specs=(
+            plane_spec,
+            plane_spec,
+            plane_spec,
+            plane_spec,
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(cam_row, meta, packed.hmat, packed.gmat, packed.attr)
+
+    flat = jnp.stack(
+        [r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1
+    )[:n_pix]
+    image = flat.reshape(height, width, 3) / spp
+    return image, jnp.sum(rays)
+
+
+def render_image_pallas(
+    scene: SphereScene,
+    camera: Camera,
+    width: int,
+    height: int,
+    spp: int = 1,
+    max_bounces: int = 8,
+    seed: int = 0,
+    sky: str = "rtiow",
+    jitter: bool = True,
+    lens: bool = False,
+    sample_offset=0,
+    interpret: bool = False,
+):
+    """Drop-in for ``integrator.render_image`` on SphereScene (rtiow sky).
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU) — the
+    "fake backend" used by tests to validate against the jnp reference.
+    """
+    if sky != "rtiow":
+        raise NotImplementedError("megakernel bakes the rtiow sky")
+    if not jitter:
+        raise NotImplementedError("megakernel always jitters (spp>=1)")
+    packed = pack_scene(scene)
+    cam_row = pack_camera(camera)
+    return _render_packed(
+        packed, cam_row, width, height, spp, max_bounces,
+        jnp.asarray(seed, jnp.int32), jnp.asarray(sample_offset, jnp.int32),
+        lens, interpret,
+    )
