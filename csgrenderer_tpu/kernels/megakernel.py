@@ -163,7 +163,10 @@ def _make_kernel(width, height, spp, max_bounces, lens, s_pad, n_pix):
 
         def bounce_step(state):
             (b, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
-             active, rays, s) = state
+             active_i, rays, s) = state
+            # Mosaic cannot carry i1 vectors through scf.while; active
+            # travels as int32 0/1 and is re-materialized as a mask here.
+            active = active_i > 0
 
             t_pl, (cx, cy, cz, inv_r, kind, param, ar, ag, ab) = (
                 intersect_tile(ox, oy, oz, dx, dy, dz)
@@ -279,14 +282,14 @@ def _make_kernel(width, height, spp, max_bounces, lens, s_pad, n_pix):
             dy = jnp.where(hit_active, ndy, dy)
             dz = jnp.where(hit_active, ndz, dz)
 
-            rays = rays + active.astype(jnp.int32)
-            active = hit_active & ~term
+            rays = rays + active_i
+            active_i = (hit_active & ~term).astype(jnp.int32)
             return (b + 1, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
-                    active, rays, s)
+                    active_i, rays, s)
 
         def bounce_cond(state):
-            b, active = state[0], state[13]
-            return (b < max_bounces) & jnp.any(active)
+            b, active_i = state[0], state[13]
+            return (b < max_bounces) & (jnp.max(active_i) > 0)
 
         def one_sample(si, carry):
             rr, rg, rb, rays = carry
@@ -321,7 +324,8 @@ def _make_kernel(width, height, spp, max_bounces, lens, s_pad, n_pix):
             state = (
                 jnp.int32(0), ox, oy, oz, dx, dy, dz,
                 one, one, one, zero, zero, zero,
-                in_image, jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32),
+                in_image.astype(jnp.int32),
+                jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32),
                 jnp.broadcast_to(s, pix_u.shape),
             )
             state = jax.lax.while_loop(bounce_cond, bounce_step, state)
