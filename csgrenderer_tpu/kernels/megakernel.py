@@ -134,8 +134,10 @@ def _make_kernel(width, height, spp, max_bounces, lens, s_pad, n_pix):
                 o4 = jnp.concatenate(
                     [ox[g:g+1], oy[g:g+1], oz[g:g+1], ones[g:g+1]], axis=0
                 )
-                half_b = jnp.dot(hmat, d4, preferred_element_type=jnp.float32)
-                cterm = jnp.dot(gmat, o4, preferred_element_type=jnp.float32)
+                half_b = jnp.dot(hmat, d4, preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+                cterm = jnp.dot(gmat, o4, preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
                 cterm = cterm + oo[g:g+1]
                 a_row = a[g:g+1]
                 disc = half_b * half_b - a_row * cterm
@@ -150,7 +152,8 @@ def _make_kernel(width, height, spp, max_bounces, lens, s_pad, n_pix):
                 cand = jnp.where(t == t_best, sphere_iota, jnp.int32(s_pad))
                 sel = jnp.min(cand, axis=0, keepdims=True)  # [1,128]
                 onehot = (sphere_iota == sel).astype(jnp.float32)  # [s_pad,128]
-                got = jnp.dot(attr, onehot, preferred_element_type=jnp.float32)
+                got = jnp.dot(attr, onehot, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
                 t_rows.append(t_best)
                 attr_rows.append(got)  # [16,128]
 
@@ -161,10 +164,10 @@ def _make_kernel(width, height, spp, max_bounces, lens, s_pad, n_pix):
             ]  # cx, cy, cz, inv_r, kind, param, alb_r, alb_g, alb_b
             return t_pl, attrs
 
-        def bounce_step(state):
-            (b, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
-             active_i, rays, s) = state
-            # Mosaic cannot carry i1 vectors through scf.while; active
+        def bounce_step(b, state, s):
+            (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
+             active_i, rays) = state
+            # Mosaic cannot carry i1 vectors through loop state; active
             # travels as int32 0/1 and is re-materialized as a mask here.
             active = active_i > 0
 
@@ -284,63 +287,80 @@ def _make_kernel(width, height, spp, max_bounces, lens, s_pad, n_pix):
 
             rays = rays + active_i
             active_i = (hit_active & ~term).astype(jnp.int32)
-            return (b + 1, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
-                    active_i, rays, s)
+            return (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
+                    active_i, rays)
 
-        def bounce_cond(state):
-            b, active_i = state[0], state[13]
-            return (b < max_bounces) & (jnp.max(active_i) > 0)
+        # The sample loop lives in the GRID (n_tiles, spp) — the canonical
+        # Mosaic reduction shape with revolving output accumulation — and the
+        # bounce loop is a STATIC fori whose heavy body is skipped via
+        # lax.cond once the tile's rays are all dead. A data-dependent
+        # while_loop here miscompiled on real TPUs (deterministic cross-tile
+        # corruption at spp>1 x many tiles; see test_kernels.py note).
+        s_idx = pl.program_id(1)
+        s = s_idx.astype(jnp.uint32) + sample_offset.astype(jnp.uint32)
+        s_plane = jnp.broadcast_to(s, pix_u.shape)
 
-        def one_sample(si, carry):
-            rr, rg, rb, rays = carry
-            s = si.astype(jnp.uint32) + sample_offset.astype(jnp.uint32)
-
-            u0, u1, u2, u3 = _pcg4d_planes(
-                pix_u, jnp.broadcast_to(s, pix_u.shape),
-                jnp.uint32(0xA5A5A5A5),
-                jnp.broadcast_to(seed.astype(jnp.uint32), pix_u.shape),
-            )
-            st_x = (px + u0) * inv_w
-            st_y = 1.0 - (py + u1) * inv_h
-            if lens:
-                lr = jnp.sqrt(u2)
-                lphi = jnp.float32(2.0 * np.pi) * u3
-                rd0 = lens_radius * lr * jnp.cos(lphi)
-                rd1 = lens_radius * lr * jnp.sin(lphi)
-                offx = rd0 * ux + rd1 * vvx
-                offy = rd0 * uy + rd1 * vvy
-                offz = rd0 * uz + rd1 * vvz
-            else:
-                offx = offy = offz = jnp.zeros_like(st_x)
-            ox = cox + offx
-            oy = coy + offy
-            oz = coz + offz
-            dx = llx + st_x * hx + st_y * vx - cox - offx
-            dy = lly + st_x * hy + st_y * vy - coy - offy
-            dz = llz + st_x * hz + st_y * vz - coz - offz
-
-            zero = jnp.zeros_like(st_x)
-            one = jnp.ones_like(st_x)
-            state = (
-                jnp.int32(0), ox, oy, oz, dx, dy, dz,
-                one, one, one, zero, zero, zero,
-                in_image.astype(jnp.int32),
-                jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32),
-                jnp.broadcast_to(s, pix_u.shape),
-            )
-            state = jax.lax.while_loop(bounce_cond, bounce_step, state)
-            return (rr + state[10], rg + state[11], rb + state[12],
-                    rays + state[14])
-
-        zero = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.float32)
-        zero_i = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32)
-        rr, rg, rb, rays = jax.lax.fori_loop(
-            0, spp, one_sample, (zero, zero, zero, zero_i)
+        u0, u1, u2, u3 = _pcg4d_planes(
+            pix_u, s_plane,
+            jnp.uint32(0xA5A5A5A5),
+            jnp.broadcast_to(seed.astype(jnp.uint32), pix_u.shape),
         )
-        out_r_ref[:] = rr
-        out_g_ref[:] = rg
-        out_b_ref[:] = rb
-        rays_ref[:] = rays
+        st_x = (px + u0) * inv_w
+        st_y = 1.0 - (py + u1) * inv_h
+        if lens:
+            lr = jnp.sqrt(u2)
+            lphi = jnp.float32(2.0 * np.pi) * u3
+            rd0 = lens_radius * lr * jnp.cos(lphi)
+            rd1 = lens_radius * lr * jnp.sin(lphi)
+            offx = rd0 * ux + rd1 * vvx
+            offy = rd0 * uy + rd1 * vvy
+            offz = rd0 * uz + rd1 * vvz
+        else:
+            offx = offy = offz = jnp.zeros_like(st_x)
+        ox = cox + offx
+        oy = coy + offy
+        oz = coz + offz
+        dx = llx + st_x * hx + st_y * vx - cox - offx
+        dy = lly + st_x * hy + st_y * vy - coy - offy
+        dz = llz + st_x * hz + st_y * vz - coz - offz
+
+        zero = jnp.zeros_like(st_x)
+        one = jnp.ones_like(st_x)
+        state = (
+            ox, oy, oz, dx, dy, dz,
+            one, one, one, zero, zero, zero,
+            in_image.astype(jnp.int32),
+            jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32),
+        )
+
+        def bounce_body(b, st):
+            # Skip the whole wave once every ray in the tile terminated —
+            # same early-exit benefit as the while_loop, static trip count.
+            return jax.lax.cond(
+                jnp.max(st[12]) > 0,
+                lambda st: bounce_step(b, st, s_plane),
+                lambda st: st,
+                st,
+            )
+
+        state = jax.lax.fori_loop(0, max_bounces, bounce_body, state)
+        rr, rg, rb, rays = state[9], state[10], state[11], state[13]
+
+        # Revolving accumulation across the sample grid dimension: the output
+        # block's index map ignores s, so the same VMEM block accumulates.
+        @pl.when(s_idx == 0)
+        def _():
+            out_r_ref[:] = rr
+            out_g_ref[:] = rg
+            out_b_ref[:] = rb
+            rays_ref[:] = rays
+
+        @pl.when(s_idx != 0)
+        def _():
+            out_r_ref[:] = out_r_ref[:] + rr
+            out_g_ref[:] = out_g_ref[:] + rg
+            out_b_ref[:] = out_b_ref[:] + rb
+            rays_ref[:] = rays_ref[:] + rays
 
     return kernel
 
@@ -426,11 +446,11 @@ def _render_packed(
         jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, TILE_LANES), jnp.int32),
     )
     plane_spec = pl.BlockSpec(
-        (TILE_ROWS, TILE_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (TILE_ROWS, TILE_LANES), lambda i, s: (i, 0), memory_space=pltpu.VMEM
     )
     r, g, b, rays = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_tiles, spp),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cam row
             pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
@@ -445,6 +465,10 @@ def _render_packed(
             plane_spec,
         ),
         out_shape=out_shape,
+        # tiles are independent; the sample dim accumulates in revolving VMEM
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(cam_row, meta, packed.hmat, packed.gmat, packed.attr)
 

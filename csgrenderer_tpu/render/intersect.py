@@ -21,6 +21,7 @@ bit-comparable milestone-01 path (``ubershader1.frag:84-95``).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -68,8 +69,12 @@ def spheres_nearest_hit(
     pass ending in a single min/argmin reduction.
     """
     ct = centers.T  # [3, S]
-    d_dot_c = d @ ct  # [N, S]  (MXU)
-    o_dot_c = o @ ct  # [N, S]  (MXU)
+    # HIGHEST: TPU matmuls default to single-pass bf16, whose 8-bit mantissa
+    # wrecks the quadratic for large-coordinate spheres (RTIOW's r=1000
+    # ground) — per-sample hit errors of whole world units. Full-precision
+    # passes cost nothing here (K=3; the MXU is nowhere near the bottleneck).
+    d_dot_c = jnp.dot(d, ct, precision=jax.lax.Precision.HIGHEST)  # [N, S]
+    o_dot_c = jnp.dot(o, ct, precision=jax.lax.Precision.HIGHEST)  # [N, S]
     a = jnp.sum(d * d, axis=-1, keepdims=True)  # [N, 1]
     o_dot_o = jnp.sum(o * o, axis=-1, keepdims=True)  # [N, 1]
     c_dot_c = jnp.sum(centers * centers, axis=-1)  # [S]
