@@ -18,15 +18,17 @@ Layout decisions (the heart of the design):
   runs at full lane utilization with zero relayouts.
 - The sphere test processes one plane row (128 rays) at a time against all
   spheres as [S, 128] tiles: per-ray scalars enter as natural [1, 128] row
-  slices, per-sphere constants as [S, 1] columns; the quadratic's cross
-  terms are two tiny MXU matmuls ([S,4] @ [4,128]) via precomputed
-  H = (-c, 1) and G = (-2c, |c|^2 - r^2) matrices, so the VPU only does the
-  ~12-op discriminant/root/select chain per (ray, sphere).
-- Nearest-hit attributes are fetched with a one-hot MXU matmul
-  ([16, S] @ [S, 128]) instead of a gather — the TPU way to index a table.
-- The bounce "recursion" is a lax.while_loop that EARLY-EXITS as soon as a
-  tile's rays are all terminated (primary-ray coherence means sky tiles pay
-  for one bounce, not max_bounces).
+  slices, per-sphere constants as [S, 128] broadcasts prepared once per
+  tile; the whole quadratic (cross terms + discriminant/root/select) is
+  exact f32 VPU broadcast math. (An MXU formulation of the cross terms
+  needed 6-pass f32 matmuls for precision — net slower than the VPU.)
+- Nearest-hit attributes are fetched with a one-hot single-pass bf16 MXU
+  matmul ([16, S] @ [S, 128]) instead of a gather — the TPU way to index a
+  table; sphere centers are stored hi/lo-split in the table so bf16 rounding
+  costs nothing (see pack_scene).
+- The bounce "recursion" is a static fori_loop whose body EARLY-EXITS via
+  lax.cond as soon as a tile's rays are all terminated (primary-ray
+  coherence means sky tiles pay for one bounce, not max_bounces).
 - RNG is the same counter-based PCG4D as the jnp path (render/sampling.py),
   on uint32 planes, so kernel output matches the reference implementation
   sample-for-sample and stays sharding-invariant.
@@ -94,7 +96,7 @@ def _make_kernel(width, height, spp, max_bounces, lens, s_pad, n_pix):
     inv_w = np.float32(1.0 / width)
     inv_h = np.float32(1.0 / height)
 
-    def kernel(cam_ref, meta_ref, hmat_ref, gmat_ref, attr_ref,
+    def kernel(cam_ref, meta_ref, cols_ref, attr_ref,
                out_r_ref, out_g_ref, out_b_ref, rays_ref):
         tile_idx = pl.program_id(0)
         seed = meta_ref[0, 0]
@@ -112,10 +114,17 @@ def _make_kernel(width, height, spp, max_bounces, lens, s_pad, n_pix):
         py = (pix // width).astype(jnp.float32)
         pix_u = pix.astype(jnp.uint32)
 
-        hmat = hmat_ref[:]  # [s_pad, 4]
-        gmat = gmat_ref[:]  # [s_pad, 4]
         attr = attr_ref[:]  # [16, s_pad]
         sphere_iota = jax.lax.broadcasted_iota(jnp.int32, (s_pad, TILE_LANES), 0)
+        # Per-sphere constants broadcast to [s_pad, 128] ONCE per tile; the
+        # per-(ray, sphere) cross terms are then pure f32 VPU broadcast math.
+        # (The earlier [S,4]@[4,128] MXU formulation needed 6-pass f32
+        # matmuls for precision — slower than the VPU and serialized with it.)
+        shape = (s_pad, TILE_LANES)
+        cxb = jnp.broadcast_to(cols_ref[:, 0:1], shape)
+        cyb = jnp.broadcast_to(cols_ref[:, 1:2], shape)
+        czb = jnp.broadcast_to(cols_ref[:, 2:3], shape)
+        ccr2b = jnp.broadcast_to(cols_ref[:, 3:4], shape)
 
         def intersect_tile(ox, oy, oz, dx, dy, dz):
             """Nearest hit for the whole tile. Returns planes."""
@@ -123,22 +132,16 @@ def _make_kernel(width, height, spp, max_bounces, lens, s_pad, n_pix):
             oo = _dot3(ox, oy, oz, ox, oy, oz)
             a = _dot3(dx, dy, dz, dx, dy, dz)
             inv_a = 1.0 / a
-            ones = jnp.ones_like(od)
 
             t_rows = []
             attr_rows = []
             for g in range(TILE_ROWS):
-                d4 = jnp.concatenate(
-                    [dx[g:g+1], dy[g:g+1], dz[g:g+1], od[g:g+1]], axis=0
-                )  # [4,128]
-                o4 = jnp.concatenate(
-                    [ox[g:g+1], oy[g:g+1], oz[g:g+1], ones[g:g+1]], axis=0
-                )
-                half_b = jnp.dot(hmat, d4, preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
-                cterm = jnp.dot(gmat, o4, preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
-                cterm = cterm + oo[g:g+1]
+                dxr, dyr, dzr = dx[g:g+1], dy[g:g+1], dz[g:g+1]
+                oxr, oyr, ozr = ox[g:g+1], oy[g:g+1], oz[g:g+1]
+                c_dot_d = cxb * dxr + cyb * dyr + czb * dzr  # [s_pad,128]
+                c_dot_o = cxb * oxr + cyb * oyr + czb * ozr
+                half_b = od[g:g+1] - c_dot_d
+                cterm = oo[g:g+1] - 2.0 * c_dot_o + ccr2b
                 a_row = a[g:g+1]
                 disc = half_b * half_b - a_row * cterm
                 sq = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -152,15 +155,23 @@ def _make_kernel(width, height, spp, max_bounces, lens, s_pad, n_pix):
                 cand = jnp.where(t == t_best, sphere_iota, jnp.int32(s_pad))
                 sel = jnp.min(cand, axis=0, keepdims=True)  # [1,128]
                 onehot = (sphere_iota == sel).astype(jnp.float32)  # [s_pad,128]
-                got = jnp.dot(attr, onehot, preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
+                # Single-pass bf16 MXU gather: safe because the table stores
+                # centers split hi/lo (both bf16-exactly-representable-ish)
+                # and every other attribute tolerates 0.4% rounding.
+                got = jnp.dot(attr, onehot, preferred_element_type=jnp.float32)
                 t_rows.append(t_best)
                 attr_rows.append(got)  # [16,128]
 
             t_pl = jnp.concatenate(t_rows, axis=0)  # [8,128]
-            attrs = [
+            raw = [
                 jnp.concatenate([ar[j:j+1] for ar in attr_rows], axis=0)
-                for j in range(9)
+                for j in range(12)
+            ]  # c_hi(3), c_lo(3), inv_r, kind, param, albedo(3)
+            attrs = [
+                raw[0] + raw[3],  # cx
+                raw[1] + raw[4],  # cy
+                raw[2] + raw[5],  # cz
+                raw[6], raw[7], raw[8], raw[9], raw[10], raw[11],
             ]  # cx, cy, cz, inv_r, kind, param, alb_r, alb_g, alb_b
             return t_pl, attrs
 
@@ -366,13 +377,19 @@ def _make_kernel(width, height, spp, max_bounces, lens, s_pad, n_pix):
 
 
 class _PackedScene(NamedTuple):
-    hmat: jax.Array  # [s_pad, 4]
-    gmat: jax.Array  # [s_pad, 4]
-    attr: jax.Array  # [16, s_pad]
+    cols: jax.Array  # [s_pad, 8] f32: cx, cy, cz, |c|^2 - r^2
+    attr: jax.Array  # [16, s_pad] f32: c_hi(3), c_lo(3), inv_r, kind, param, albedo(3)
 
 
 def pack_scene(scene: SphereScene) -> _PackedScene:
-    """Precompute the kernel's sphere matrices (host-side, once per scene)."""
+    """Precompute the kernel's sphere tables (host-side, once per scene).
+
+    ``cols`` feeds the VPU cross-term broadcasts. ``attr`` is the one-hot
+    gather table; centers are split into a bf16-exact hi part plus a small lo
+    remainder so the gather can use the MXU's fast single bf16 pass without
+    losing world-space precision (bf16(c_lo) error ~ 0.4% of an already-small
+    remainder).
+    """
     c = np.asarray(scene.centers, np.float32)
     r = np.asarray(scene.radii, np.float32)
     kind = np.asarray(scene.mat_kind, np.float32)
@@ -381,23 +398,25 @@ def pack_scene(scene: SphereScene) -> _PackedScene:
     s = c.shape[0]
     s_pad = max(8, int(np.ceil(s / 8)) * 8)
 
-    hmat = np.zeros((s_pad, 4), np.float32)
-    gmat = np.zeros((s_pad, 4), np.float32)
+    cols = np.zeros((s_pad, 8), np.float32)
     attr = np.zeros((16, s_pad), np.float32)
-    hmat[:s, 0:3] = -c
-    hmat[:s, 3] = 1.0
-    gmat[:s, 0:3] = -2.0 * c
-    gmat[:s, 3] = np.sum(c * c, axis=1) - r * r
+    cols[:s, 0:3] = c
+    cols[:s, 3] = np.sum(c * c, axis=1) - r * r
     # padding spheres: huge positive c-term constant => disc < 0 always
-    gmat[s:, 3] = 1e30
-    attr[0:3, :s] = c.T
-    attr[3, :s] = 1.0 / np.maximum(r, 1e-12)
-    attr[4, :s] = kind
-    attr[5, :s] = prm
-    attr[6:9, :s] = alb.T
+    cols[s:, 3] = 1e30
+
+    import ml_dtypes
+
+    c_hi = c.astype(ml_dtypes.bfloat16).astype(np.float32)
+    c_lo = c - c_hi
+    attr[0:3, :s] = c_hi.T
+    attr[3:6, :s] = c_lo.T
+    attr[6, :s] = 1.0 / np.maximum(r, 1e-12)
+    attr[7, :s] = kind
+    attr[8, :s] = prm
+    attr[9:12, :s] = alb.T
     return _PackedScene(
-        hmat=jnp.asarray(hmat),
-        gmat=jnp.asarray(gmat),
+        cols=jnp.asarray(cols),
         attr=jnp.asarray(attr),
     )
 
@@ -435,7 +454,7 @@ def _render_packed(
     meta = meta.at[0, 0].set(jnp.asarray(seed, jnp.int32))
     meta = meta.at[0, 1].set(jnp.asarray(sample_offset, jnp.int32))
 
-    s_pad = packed.hmat.shape[0]  # static via the array shape
+    s_pad = packed.cols.shape[0]  # static via the array shape
     kernel = _make_kernel(
         width, height, spp, max_bounces, lens, s_pad, n_pix
     )
@@ -454,8 +473,7 @@ def _render_packed(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cam row
             pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # hmat
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # gmat
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # cols
             pl.BlockSpec(memory_space=pltpu.VMEM),  # attr
         ],
         out_specs=(
@@ -470,7 +488,7 @@ def _render_packed(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(cam_row, meta, packed.hmat, packed.gmat, packed.attr)
+    )(cam_row, meta, packed.cols, packed.attr)
 
     flat = jnp.stack(
         [r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1
