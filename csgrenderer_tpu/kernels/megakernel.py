@@ -198,9 +198,10 @@ def _make_kernel(width, height, spp, max_bounces, lens, s_pad, n_pix):
             sgn = jnp.where(front, 1.0, -1.0)
             nx, ny, nz = onx * sgn, ony * sgn, onz * sgn
 
-            # RNG
+            # RNG — b and s are per-lane uint32 planes (each lane tracks its
+            # own sample/bounce position under wavefront regeneration)
             u0, u1, u2, _u3 = _pcg4d_planes(
-                pix_u, s, b.astype(jnp.uint32), seed.astype(jnp.uint32)
+                pix_u, s, b, jnp.broadcast_to(seed.astype(jnp.uint32), s.shape)
             )
 
             # unit incoming direction
@@ -301,77 +302,101 @@ def _make_kernel(width, height, spp, max_bounces, lens, s_pad, n_pix):
             return (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
                     active_i, rays)
 
+        def camera_rays(s_plane):
+            """Primary rays for per-lane sample ids ``s_plane`` (uint32)."""
+            u0, u1, u2, u3 = _pcg4d_planes(
+                pix_u, s_plane,
+                jnp.broadcast_to(jnp.uint32(0xA5A5A5A5), pix_u.shape),
+                jnp.broadcast_to(seed.astype(jnp.uint32), pix_u.shape),
+            )
+            st_x = (px + u0) * inv_w
+            st_y = 1.0 - (py + u1) * inv_h
+            if lens:
+                lr = jnp.sqrt(u2)
+                lphi = jnp.float32(2.0 * np.pi) * u3
+                rd0 = lens_radius * lr * jnp.cos(lphi)
+                rd1 = lens_radius * lr * jnp.sin(lphi)
+                offx = rd0 * ux + rd1 * vvx
+                offy = rd0 * uy + rd1 * vvy
+                offz = rd0 * uz + rd1 * vvz
+            else:
+                offx = offy = offz = jnp.zeros_like(st_x)
+            gox = cox + offx
+            goy = coy + offy
+            goz = coz + offz
+            gdx = llx + st_x * hx + st_y * vx - cox - offx
+            gdy = lly + st_x * hy + st_y * vy - coy - offy
+            gdz = llz + st_x * hz + st_y * vz - coz - offz
+            return gox, goy, goz, gdx, gdy, gdz
+
         # The sample loop lives in the GRID (n_tiles, spp) — the canonical
         # Mosaic reduction shape with revolving output accumulation — and the
-        # bounce loop is a STATIC fori whose heavy body is skipped via
-        # lax.cond once the tile's rays are all dead. A data-dependent
-        # while_loop here miscompiled on real TPUs (deterministic cross-tile
-        # corruption at spp>1 x many tiles; see test_kernels.py note).
-        s_idx = pl.program_id(1)
-        s = s_idx.astype(jnp.uint32) + sample_offset.astype(jnp.uint32)
-        s_plane = jnp.broadcast_to(s, pix_u.shape)
+        # --- wavefront regeneration (SURVEY §7 hard part #2, TPU form) ---
+        # Every lane owns one pixel. Each wave: lanes whose path terminated
+        # immediately start that pixel's NEXT sample, so occupancy stays near
+        # 100% instead of draining to the longest path per sample. The wave
+        # loop is one while_loop over "any lane still has work".
+        zero = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.float32)
+        zero_i = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32)
+        sample_offset_u = sample_offset.astype(jnp.uint32)
 
-        u0, u1, u2, u3 = _pcg4d_planes(
-            pix_u, s_plane,
-            jnp.uint32(0xA5A5A5A5),
-            jnp.broadcast_to(seed.astype(jnp.uint32), pix_u.shape),
-        )
-        st_x = (px + u0) * inv_w
-        st_y = 1.0 - (py + u1) * inv_h
-        if lens:
-            lr = jnp.sqrt(u2)
-            lphi = jnp.float32(2.0 * np.pi) * u3
-            rd0 = lens_radius * lr * jnp.cos(lphi)
-            rd1 = lens_radius * lr * jnp.sin(lphi)
-            offx = rd0 * ux + rd1 * vvx
-            offy = rd0 * uy + rd1 * vvy
-            offz = rd0 * uz + rd1 * vvz
-        else:
-            offx = offy = offz = jnp.zeros_like(st_x)
-        ox = cox + offx
-        oy = coy + offy
-        oz = coz + offz
-        dx = llx + st_x * hx + st_y * vx - cox - offx
-        dy = lly + st_x * hy + st_y * vy - coy - offy
-        dz = llz + st_x * hz + st_y * vz - coz - offz
-
-        zero = jnp.zeros_like(st_x)
-        one = jnp.ones_like(st_x)
-        state = (
-            ox, oy, oz, dx, dy, dz,
-            one, one, one, zero, zero, zero,
-            in_image.astype(jnp.int32),
-            jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32),
+        state0 = dict(
+            o=(zero, zero, zero),
+            d=(zero, zero, zero),
+            thr=(zero, zero, zero),
+            rad=(zero, zero, zero),
+            active=zero_i,
+            b_ctr=zero_i,  # per-lane bounce index within its current sample
+            cur_s=jnp.zeros((TILE_ROWS, TILE_LANES), jnp.uint32),
+            done=jnp.where(in_image, 0, spp).astype(jnp.int32),  # samples issued
+            rays=zero_i,
         )
 
-        def bounce_body(b, st):
-            # Skip the whole wave once every ray in the tile terminated —
-            # same early-exit benefit as the while_loop, static trip count.
-            return jax.lax.cond(
-                jnp.max(st[12]) > 0,
-                lambda st: bounce_step(b, st, s_plane),
-                lambda st: st,
-                st,
+        def wave_cond(st):
+            has_work = (st["active"] > 0) | (st["done"] < spp)
+            return jnp.max(has_work.astype(jnp.int32)) > 0
+
+        def wave_step(st):
+            # 1. regenerate dead lanes that still owe samples
+            regen = (st["active"] == 0) & (st["done"] < spp)
+            s_new = st["done"].astype(jnp.uint32) + sample_offset_u
+            gox, goy, goz, gdx, gdy, gdz = camera_rays(s_new)
+
+            def sel(new, old):
+                return jnp.where(regen, new, old)
+
+            ox, oy, oz = (sel(g, o) for g, o in zip((gox, goy, goz), st["o"]))
+            dx, dy, dz = (sel(g, o) for g, o in zip((gdx, gdy, gdz), st["d"]))
+            one = jnp.ones_like(gox)
+            tr, tg, tb = (sel(one, t) for t in st["thr"])
+            cur_s = jnp.where(regen, s_new, st["cur_s"])
+            b_ctr = jnp.where(regen, 0, st["b_ctr"])
+            done = st["done"] + regen.astype(jnp.int32)
+            active_i = jnp.where(regen, 1, st["active"])
+
+            # 2. one bounce wave
+            rr, rg, rb = st["rad"]
+            bstate = (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
+                      active_i, st["rays"])
+            bstate = bounce_step(b_ctr.astype(jnp.uint32), bstate, cur_s)
+            (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
+             active_i, rays) = bstate
+
+            # 3. advance per-lane bounce counters; the cap kills the path
+            # (dead lanes' counters tick harmlessly until regeneration)
+            b_ctr = b_ctr + 1
+            active_i = jnp.where(b_ctr >= max_bounces, 0, active_i)
+            return dict(
+                o=(ox, oy, oz), d=(dx, dy, dz), thr=(tr, tg, tb),
+                rad=(rr, rg, rb), active=active_i, b_ctr=b_ctr,
+                cur_s=cur_s, done=done, rays=rays,
             )
 
-        state = jax.lax.fori_loop(0, max_bounces, bounce_body, state)
-        rr, rg, rb, rays = state[9], state[10], state[11], state[13]
-
-        # Revolving accumulation across the sample grid dimension: the output
-        # block's index map ignores s, so the same VMEM block accumulates.
-        @pl.when(s_idx == 0)
-        def _():
-            out_r_ref[:] = rr
-            out_g_ref[:] = rg
-            out_b_ref[:] = rb
-            rays_ref[:] = rays
-
-        @pl.when(s_idx != 0)
-        def _():
-            out_r_ref[:] = out_r_ref[:] + rr
-            out_g_ref[:] = out_g_ref[:] + rg
-            out_b_ref[:] = out_b_ref[:] + rb
-            rays_ref[:] = rays_ref[:] + rays
+        state = jax.lax.while_loop(wave_cond, wave_step, state0)
+        out_r_ref[:] = state["rad"][0]
+        out_g_ref[:] = state["rad"][1]
+        out_b_ref[:] = state["rad"][2]
+        rays_ref[:] = state["rays"]
 
     return kernel
 
@@ -465,11 +490,11 @@ def _render_packed(
         jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, TILE_LANES), jnp.int32),
     )
     plane_spec = pl.BlockSpec(
-        (TILE_ROWS, TILE_LANES), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+        (TILE_ROWS, TILE_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     r, g, b, rays = pl.pallas_call(
         kernel,
-        grid=(n_tiles, spp),
+        grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cam row
             pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
@@ -483,9 +508,8 @@ def _render_packed(
             plane_spec,
         ),
         out_shape=out_shape,
-        # tiles are independent; the sample dim accumulates in revolving VMEM
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(cam_row, meta, packed.cols, packed.attr)
