@@ -1,0 +1,566 @@
+"""Pallas TPU kernel for CSG tapes — the north-star component.
+
+Evaluates a CompiledTape (scene/tape.py) branch-free inside a fused
+path-tracing kernel: per 1024-ray tile, each postfix instruction manipulates
+a fixed-K interval list held as K pairs of [8,128] planes, so the whole CSG
+stack machine is straight-line VPU code (BASELINE.json: "the CSG scene ...
+compiles from the host-side scene graph into a flattened postfix instruction
+tape evaluated branch-free per ray in a Pallas kernel").
+
+Algorithms mirror the jnp reference exactly (render/interval.py,
+render/tape_eval.py):
+
+- convex leaf -> one (enter, exit) interval, computed in the leaf's local
+  frame via quaternion rotation from SMEM scalars;
+- boolean combine = event-form: merge the 4K+1 endpoints with an odd-even
+  transposition network of plane min/max ops, evaluate insideness at segment
+  midpoints by interval membership, flag result starts/ends, and compact
+  them into K slots with running-rank selects (no scatter, no sort-of-keys);
+- nearest surface = min over slot boundaries with t > eps; the ``entering``
+  flag (is the nearest boundary an interval start?) is the solid-level
+  front-face used by dielectrics — correct on subtracted surfaces where a
+  dot-product test is not;
+- surface attribution: every leaf scores |distance to its surface| at the
+  hit point and a running argmin keeps the owner's normal and material.
+
+The sample/bounce machinery (wavefront regeneration, PCG4D RNG, material
+dispatch) is shared with the sphere megakernel via kernels/common.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..camera.pinhole import Camera
+from ..scene.graph import NodeType
+from ..scene.tape import OP_DIFF, OP_INTERSECT, OP_PUSH, OP_UNION, CompiledTape
+from .common import (
+    BIG,
+    BIG_CUT,
+    CAM_SIZE,
+    META_SIZE,
+    TILE,
+    TILE_LANES,
+    TILE_ROWS,
+    dot3,
+    pcg4d_planes,
+    scatter_planes,
+    sky_planes,
+)
+
+T_FAR = np.float32(1e9)
+_CUT = np.float32(5e8)
+
+# leaf table layout (f32 [L, 16] in SMEM):
+#   0-3 leaf_rot (world->local quat wxyz), 4-6 leaf_pos, 7-10 params,
+#   11 kind, 12 mat_param, 13-15 albedo
+LEAF_ROW = 16
+
+
+def _rotate_scal(qw, qx, qy, qz, vx, vy, vz):
+    """Rotate plane-vector v by scalar quaternion q (v + 2 cross-form)."""
+    tx = 2.0 * (qy * vz - qz * vy)
+    ty = 2.0 * (qz * vx - qx * vz)
+    tz = 2.0 * (qx * vy - qy * vx)
+    return (
+        vx + qw * tx + (qy * tz - qz * ty),
+        vy + qw * ty + (qz * tx - qx * tz),
+        vz + qw * tz + (qx * ty - qy * tx),
+    )
+
+
+def _leaf_interval(ltype, c, o, d):
+    """(enter, exit) planes for one leaf; empty encoded as enter > exit.
+
+    ``c`` = list of 16 SMEM scalars for the leaf; o/d = world-ray planes.
+    Semantics identical to render/intersect.py interval functions.
+    """
+    qw, qx, qy, qz = c[0], c[1], c[2], c[3]
+    ox = o[0] - c[4]
+    oy = o[1] - c[5]
+    oz = o[2] - c[6]
+    lox, loy, loz = _rotate_scal(qw, qx, qy, qz, ox, oy, oz)
+    ldx, ldy, ldz = _rotate_scal(qw, qx, qy, qz, d[0], d[1], d[2])
+    p0, p1, p2 = c[7], c[8], c[9]
+    far = jnp.full_like(lox, T_FAR)
+    neg = -far
+
+    if ltype == NodeType.SPHERE:
+        a = dot3(ldx, ldy, ldz, ldx, ldy, ldz)
+        hb = dot3(lox, loy, loz, ldx, ldy, ldz)
+        cc = dot3(lox, loy, loz, lox, loy, loz) - p0 * p0
+        disc = hb * hb - a * cc
+        ok = disc >= 0.0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        inv_a = 1.0 / a
+        return (
+            jnp.where(ok, (-hb - sq) * inv_a, far),
+            jnp.where(ok, (-hb + sq) * inv_a, neg),
+        )
+    if ltype == NodeType.INFINITE_PLANAR_PARTITION:
+        dn = dot3(ldx, ldy, ldz, p0, p1, p2)
+        on = dot3(lox, loy, loz, p0, p1, p2)
+        t0 = -on / dn
+        entering = dn < 0.0
+        parallel = dn == 0.0
+        inside = parallel & (on <= 0.0)
+        enter = jnp.where(entering, t0, neg)
+        exit_ = jnp.where(entering, far, t0)
+        enter = jnp.where(parallel, jnp.where(inside, neg, far), enter)
+        exit_ = jnp.where(parallel, jnp.where(inside, far, neg), exit_)
+        return enter, exit_
+    if ltype == NodeType.BOX:
+        enter, exit_ = None, None
+        for lo_, ld_, he in ((lox, ldx, p0), (loy, ldy, p1), (loz, ldz, p2)):
+            safe = jnp.where(ld_ == 0.0, jnp.float32(1.0), ld_)
+            inv = 1.0 / safe
+            ta = (-he - lo_) * inv
+            tb = (he - lo_) * inv
+            t_lo = jnp.minimum(ta, tb)
+            t_hi = jnp.maximum(ta, tb)
+            in_slab = jnp.abs(lo_) <= he
+            t_lo = jnp.where(ld_ == 0.0, jnp.where(in_slab, neg, far), t_lo)
+            t_hi = jnp.where(ld_ == 0.0, jnp.where(in_slab, far, neg), t_hi)
+            enter = t_lo if enter is None else jnp.maximum(enter, t_lo)
+            exit_ = t_hi if exit_ is None else jnp.minimum(exit_, t_hi)
+        return enter, exit_
+    if ltype == NodeType.CYLINDER:
+        a = ldx * ldx + ldz * ldz
+        hb = lox * ldx + loz * ldz
+        cc = lox * lox + loz * loz - p0 * p0
+        disc = hb * hb - a * cc
+        ok = disc >= 0.0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        degen = a == 0.0
+        inv_a = 1.0 / jnp.where(degen, jnp.float32(1.0), a)
+        s_enter = jnp.where(ok, (-hb - sq) * inv_a, far)
+        s_exit = jnp.where(ok, (-hb + sq) * inv_a, neg)
+        in_tube = cc <= 0.0
+        s_enter = jnp.where(degen, jnp.where(in_tube, neg, far), s_enter)
+        s_exit = jnp.where(degen, jnp.where(in_tube, far, neg), s_exit)
+        safe = jnp.where(ldy == 0.0, jnp.float32(1.0), ldy)
+        ta = (-p1 - loy) / safe
+        tb = (p1 - loy) / safe
+        c_lo = jnp.minimum(ta, tb)
+        c_hi = jnp.maximum(ta, tb)
+        in_y = jnp.abs(loy) <= p1
+        c_lo = jnp.where(ldy == 0.0, jnp.where(in_y, neg, far), c_lo)
+        c_hi = jnp.where(ldy == 0.0, jnp.where(in_y, far, neg), c_hi)
+        return jnp.maximum(s_enter, c_lo), jnp.minimum(s_exit, c_hi)
+    raise ValueError(f"bad leaf type {ltype}")  # pragma: no cover
+
+
+def _single_to_list(enter, exit_, k, far_plane):
+    enter_c = jnp.clip(enter, 0.0, T_FAR)
+    exit_c = jnp.clip(exit_, 0.0, T_FAR)
+    valid = enter_c < exit_c
+    t_in = [jnp.where(valid, enter_c, far_plane)] + [far_plane] * (k - 1)
+    t_out = [jnp.where(valid, exit_c, far_plane)] + [far_plane] * (k - 1)
+    return t_in, t_out
+
+
+def _sort_planes(planes):
+    """Odd-even transposition sort across a list of planes (per-lane)."""
+    n = len(planes)
+    planes = list(planes)
+    for p in range(n):
+        start = p % 2
+        for i in range(start, n - 1, 2):
+            lo = jnp.minimum(planes[i], planes[i + 1])
+            hi = jnp.maximum(planes[i], planes[i + 1])
+            planes[i], planes[i + 1] = lo, hi
+    return planes
+
+
+def _combine(a, b, op, k, zero_plane, far_plane):
+    """Boolean-combine two K-slot interval lists (lists of planes)."""
+    a_in, a_out = a
+    b_in, b_out = b
+    events = _sort_planes([zero_plane] + a_in + a_out + b_in + b_out)
+    n = len(events)  # 4k + 1
+
+    def inside(l_in, l_out, m):
+        acc = None
+        for kk in range(k):
+            term = (l_in[kk] <= m) & (m < l_out[kk])
+            acc = term if acc is None else (acc | term)
+        return acc
+
+    res = []
+    for j in range(n):
+        m = (
+            0.5 * (events[j] + events[j + 1])
+            if j < n - 1
+            else events[j] + 1.0
+        )
+        ia = inside(a_in, a_out, m)
+        ib = inside(b_in, b_out, m)
+        if op == OP_UNION:
+            res.append(ia | ib)
+        elif op == OP_INTERSECT:
+            res.append(ia & ib)
+        else:  # OP_DIFF
+            res.append(ia & ~ib)
+
+    false_plane = zero_plane > 1.0  # all-False bool plane
+    prev = [false_plane] + res[:-1]
+    starts = [res[j] & ~prev[j] for j in range(n)]
+    ends = [~res[j] & prev[j] for j in range(n)]
+
+    def compact(flags):
+        out = []
+        rank = None
+        ranks = []
+        for j in range(n):
+            f = flags[j].astype(jnp.int32)
+            rank = f if rank is None else rank + f
+            ranks.append(rank)  # rank AFTER including j: slot = rank-1
+        for kk in range(k):
+            val = None
+            for j in range(n):
+                pick = flags[j] & (ranks[j] == kk + 1)
+                contrib = jnp.where(pick, events[j], 0.0)
+                val = contrib if val is None else val + contrib
+            exists = None
+            for j in range(n):
+                pick = flags[j] & (ranks[j] == kk + 1)
+                exists = pick if exists is None else (exists | pick)
+            out.append(jnp.where(exists, val, far_plane))
+        return out
+
+    return compact(starts), compact(ends)
+
+
+def _pack_program(tape: CompiledTape):
+    """Static program tuple (hashable) + dynamic leaf table [L, 16]."""
+    program = (tuple(tape.ops), tuple(tape.leaf_types), int(tape.k))
+    L = tape.n_leaves
+    tab = jnp.zeros((L, LEAF_ROW), jnp.float32)
+    tab = tab.at[:, 0:4].set(tape.leaf_rot)
+    tab = tab.at[:, 4:7].set(tape.leaf_pos)
+    tab = tab.at[:, 7:11].set(tape.leaf_params)
+    tab = tab.at[:, 11].set(tape.mat_kind.astype(jnp.float32))
+    tab = tab.at[:, 12].set(tape.mat_param)
+    tab = tab.at[:, 13:16].set(tape.albedo)
+    return program, tab
+
+
+def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix):
+    ops, leaf_types, k = program
+    n_leaves = len(leaf_types)
+    inv_w = np.float32(1.0 / width)
+    inv_h = np.float32(1.0 / height)
+    eps = np.float32(1e-3)
+
+    def kernel(cam_ref, meta_ref, leaf_ref,
+               out_r_ref, out_g_ref, out_b_ref, rays_ref):
+        tile_idx = pl.program_id(0)
+        seed = meta_ref[0, 0]
+        sample_offset = meta_ref[0, 1]
+
+        cam = [cam_ref[0, i] for i in range(19)]
+        (cox, coy, coz, llx, lly, llz, hx, hy, hz, vx, vy, vz,
+         ux, uy, uz, vvx, vvy, vvz, lens_radius) = cam
+        leaf_scal = [
+            [leaf_ref[l, j] for j in range(LEAF_ROW)] for l in range(n_leaves)
+        ]
+
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 0)
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 1)
+        pix = tile_idx * TILE + row_ids * TILE_LANES + lane_ids
+        in_image = pix < n_pix
+        px = (pix % width).astype(jnp.float32)
+        py = (pix // width).astype(jnp.float32)
+        pix_u = pix.astype(jnp.uint32)
+
+        zero = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.float32)
+        far_plane = jnp.full((TILE_ROWS, TILE_LANES), T_FAR, jnp.float32)
+
+        def tape_hit(o, d):
+            """(t, hit, entering, n_shade, kind, param, alb) planes."""
+            stack = []
+            for opcode, operand in ops:
+                if opcode == OP_PUSH:
+                    enter, exit_ = _leaf_interval(
+                        leaf_types[operand], leaf_scal[operand], o, d
+                    )
+                    stack.append(_single_to_list(enter, exit_, k, far_plane))
+                else:
+                    right = stack.pop()
+                    left = stack.pop()
+                    stack.append(
+                        _combine(left, right, opcode, k, zero, far_plane)
+                    )
+            t_in, t_out = stack[0]
+
+            t_enter = far_plane
+            t_exit = far_plane
+            for kk in range(k):
+                cin = (t_in[kk] > eps) & (t_in[kk] < _CUT)
+                t_enter = jnp.minimum(t_enter, jnp.where(cin, t_in[kk], T_FAR))
+                cout = (t_out[kk] > eps) & (t_out[kk] < _CUT)
+                t_exit = jnp.minimum(t_exit, jnp.where(cout, t_out[kk], T_FAR))
+            t = jnp.minimum(t_enter, t_exit)
+            entering = t_enter <= t_exit
+            hit = t < _CUT
+
+            # surface attribution: nearest leaf surface at the hit point
+            t_safe = jnp.where(hit, t, 1.0)
+            hpx = o[0] + t_safe * d[0]
+            hpy = o[1] + t_safe * d[1]
+            hpz = o[2] + t_safe * d[2]
+            best = None
+            for l in range(n_leaves):
+                c = leaf_scal[l]
+                qw, qx, qy, qz = c[0], c[1], c[2], c[3]
+                rx, ry, rz = hpx - c[4], hpy - c[5], hpz - c[6]
+                lx, ly, lz = _rotate_scal(qw, qx, qy, qz, rx, ry, rz)
+                p0, p1, p2 = c[7], c[8], c[9]
+                lt = leaf_types[l]
+                if lt == NodeType.SPHERE:
+                    rad = jnp.sqrt(dot3(lx, ly, lz, lx, ly, lz))
+                    score = jnp.abs(rad - p0)
+                    inv = 1.0 / jnp.maximum(rad, jnp.float32(1e-12))
+                    nlx, nly, nlz = lx * inv, ly * inv, lz * inv
+                elif lt == NodeType.INFINITE_PLANAR_PARTITION:
+                    score = jnp.abs(dot3(lx, ly, lz, p0, p1, p2))
+                    nlx = jnp.full_like(lx, 0.0) + p0
+                    nly = jnp.full_like(ly, 0.0) + p1
+                    nlz = jnp.full_like(lz, 0.0) + p2
+                elif lt == NodeType.BOX:
+                    gx = p0 - jnp.abs(lx)
+                    gy = p1 - jnp.abs(ly)
+                    gz = p2 - jnp.abs(lz)
+                    score = jnp.minimum(jnp.abs(gx),
+                                        jnp.minimum(jnp.abs(gy), jnp.abs(gz)))
+                    # outward normal: axis with the smallest gap
+                    is_x = (jnp.abs(gx) <= jnp.abs(gy)) & (jnp.abs(gx) <= jnp.abs(gz))
+                    is_y = ~is_x & (jnp.abs(gy) <= jnp.abs(gz))
+                    sx = jnp.where(lx >= 0.0, 1.0, -1.0)
+                    sy = jnp.where(ly >= 0.0, 1.0, -1.0)
+                    sz = jnp.where(lz >= 0.0, 1.0, -1.0)
+                    nlx = jnp.where(is_x, sx, 0.0)
+                    nly = jnp.where(is_y, sy, 0.0)
+                    nlz = jnp.where(is_x | is_y, 0.0, sz)
+                elif lt == NodeType.CYLINDER:
+                    srad = jnp.sqrt(lx * lx + lz * lz)
+                    side = jnp.abs(srad - p0)
+                    cap = jnp.abs(jnp.abs(ly) - p1)
+                    score = jnp.minimum(side, cap)
+                    inv = 1.0 / jnp.maximum(srad, jnp.float32(1e-12))
+                    use_side = side < cap
+                    nlx = jnp.where(use_side, lx * inv, 0.0)
+                    nly = jnp.where(use_side, 0.0, jnp.where(ly >= 0.0, 1.0, -1.0))
+                    nlz = jnp.where(use_side, lz * inv, 0.0)
+                else:  # pragma: no cover
+                    raise ValueError(f"bad leaf type {lt}")
+                # local -> world normal: rotate by conj(q)
+                nwx, nwy, nwz = _rotate_scal(qw, -qx, -qy, -qz, nlx, nly, nlz)
+                cand = (score, nwx, nwy, nwz, c[11], c[12], c[13], c[14], c[15])
+                if best is None:
+                    best = [jnp.broadcast_to(v, score.shape).astype(jnp.float32)
+                            for v in cand]
+                else:
+                    better = cand[0] < best[0]
+                    best = [
+                        jnp.where(better, new, old)
+                        for new, old in zip(cand, best)
+                    ]
+            (_, nwx, nwy, nwz, kind, param, ar, ag, ab) = best
+
+            # face-forward the leaf normal against the ray
+            flip = dot3(d[0], d[1], d[2], nwx, nwy, nwz) > 0.0
+            sgn = jnp.where(flip, -1.0, 1.0)
+            return (
+                t, hit, entering,
+                (nwx * sgn, nwy * sgn, nwz * sgn),
+                kind, param, (ar, ag, ab),
+            )
+
+        def camera_rays(s_plane):
+            u0, u1, u2, u3 = pcg4d_planes(
+                pix_u, s_plane,
+                jnp.broadcast_to(jnp.uint32(0xA5A5A5A5), pix_u.shape),
+                jnp.broadcast_to(seed.astype(jnp.uint32), pix_u.shape),
+            )
+            st_x = (px + u0) * inv_w
+            st_y = 1.0 - (py + u1) * inv_h
+            if lens:
+                lr = jnp.sqrt(u2)
+                lphi = jnp.float32(2.0 * np.pi) * u3
+                rd0 = lens_radius * lr * jnp.cos(lphi)
+                rd1 = lens_radius * lr * jnp.sin(lphi)
+                offx = rd0 * ux + rd1 * vvx
+                offy = rd0 * uy + rd1 * vvy
+                offz = rd0 * uz + rd1 * vvz
+            else:
+                offx = offy = offz = jnp.zeros_like(st_x)
+            return (
+                (cox + offx, coy + offy, coz + offz),
+                (
+                    llx + st_x * hx + st_y * vx - cox - offx,
+                    lly + st_x * hy + st_y * vy - coy - offy,
+                    llz + st_x * hz + st_y * vz - coz - offz,
+                ),
+            )
+
+        zero_i = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32)
+        state0 = dict(
+            o=(zero, zero, zero), d=(zero, zero, zero),
+            thr=(zero, zero, zero), rad=(zero, zero, zero),
+            active=zero_i, b_ctr=zero_i,
+            cur_s=jnp.zeros((TILE_ROWS, TILE_LANES), jnp.uint32),
+            done=jnp.where(in_image, 0, spp).astype(jnp.int32),
+            rays=zero_i,
+        )
+
+        def wave_cond(st):
+            has_work = (st["active"] > 0) | (st["done"] < spp)
+            return jnp.max(has_work.astype(jnp.int32)) > 0
+
+        def wave_step(st):
+            regen = (st["active"] == 0) & (st["done"] < spp)
+            s_new = st["done"].astype(jnp.uint32) + sample_offset.astype(jnp.uint32)
+            (gox, goy, goz), (gdx, gdy, gdz) = camera_rays(s_new)
+
+            def sel(new, old):
+                return jnp.where(regen, new, old)
+
+            o = tuple(sel(g, v) for g, v in zip((gox, goy, goz), st["o"]))
+            d = tuple(sel(g, v) for g, v in zip((gdx, gdy, gdz), st["d"]))
+            one = jnp.ones_like(gox)
+            thr = tuple(sel(one, v) for v in st["thr"])
+            cur_s = jnp.where(regen, s_new, st["cur_s"])
+            b_ctr = jnp.where(regen, 0, st["b_ctr"])
+            done = st["done"] + regen.astype(jnp.int32)
+            active_i = jnp.where(regen, 1, st["active"])
+            active = active_i > 0
+
+            t, hit, entering, n, kind, param, alb = tape_hit(o, d)
+            u0, u1, u2, _ = pcg4d_planes(
+                pix_u, cur_s, b_ctr.astype(jnp.uint32),
+                jnp.broadcast_to(seed.astype(jnp.uint32), pix_u.shape),
+            )
+            new_d, atten, emitted, term, ud = scatter_planes(
+                kind, param, alb, d, n, entering, u0, u1, u2
+            )
+            skr, skg, skb = sky_planes(ud, sky)
+
+            missed = active & ~hit
+            hit_active = active & hit
+            rad = list(st["rad"])
+            for i, (sk, em, at) in enumerate(
+                zip((skr, skg, skb), emitted, atten)
+            ):
+                rad[i] = rad[i] + jnp.where(missed, thr[i] * sk, 0.0)
+                rad[i] = rad[i] + jnp.where(hit_active, thr[i] * em, 0.0)
+            thr = tuple(
+                jnp.where(hit_active, th * at, th)
+                for th, at in zip(thr, atten)
+            )
+            t_safe = jnp.where(hit, t, 1.0)
+            o = tuple(
+                jnp.where(hit_active, ov + t_safe * dv, ov)
+                for ov, dv in zip(o, d)
+            )
+            d = tuple(
+                jnp.where(hit_active, nd, dv) for nd, dv in zip(new_d, d)
+            )
+            rays = st["rays"] + active_i
+            active_i = (hit_active & ~term).astype(jnp.int32)
+            b_ctr = b_ctr + 1
+            active_i = jnp.where(b_ctr >= max_bounces, 0, active_i)
+            return dict(
+                o=o, d=d, thr=thr, rad=tuple(rad), active=active_i,
+                b_ctr=b_ctr, cur_s=cur_s, done=done, rays=rays,
+            )
+
+        state = jax.lax.while_loop(wave_cond, wave_step, state0)
+        out_r_ref[:] = state["rad"][0]
+        out_g_ref[:] = state["rad"][1]
+        out_b_ref[:] = state["rad"][2]
+        rays_ref[:] = state["rays"]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "program", "width", "height", "spp", "max_bounces", "lens", "sky",
+        "interpret",
+    ),
+)
+def _render_tape_packed(
+    program, leaf_tab, cam_row, width, height, spp, max_bounces,
+    seed, sample_offset, lens, sky, interpret,
+):
+    n_pix = width * height
+    n_tiles = pl.cdiv(n_pix, TILE)
+    meta = jnp.zeros((1, META_SIZE), jnp.int32)
+    meta = meta.at[0, 0].set(jnp.asarray(seed, jnp.int32))
+    meta = meta.at[0, 1].set(jnp.asarray(sample_offset, jnp.int32))
+
+    kernel = _make_kernel(
+        program, width, height, spp, max_bounces, lens, sky, n_pix
+    )
+    plane = jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, TILE_LANES), jnp.float32)
+    plane_spec = pl.BlockSpec(
+        (TILE_ROWS, TILE_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    r, g, b, rays = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cam
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # leaf table
+        ],
+        out_specs=(plane_spec, plane_spec, plane_spec, plane_spec),
+        out_shape=(
+            plane, plane, plane,
+            jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, TILE_LANES), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(cam_row, meta, leaf_tab)
+
+    flat = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
+    image = flat[:n_pix].reshape(height, width, 3) / spp
+    return image, jnp.sum(rays)
+
+
+def render_image_tape_pallas(
+    tape: CompiledTape,
+    camera: Camera,
+    width: int,
+    height: int,
+    spp: int = 1,
+    max_bounces: int = 8,
+    seed: int = 0,
+    sky: str = "rtiow",
+    jitter: bool = True,
+    lens: bool = False,
+    sample_offset=0,
+    interpret: bool = False,
+):
+    """Drop-in for ``integrator.render_image`` on a CompiledTape scene."""
+    if not jitter:
+        raise NotImplementedError("tape kernel always jitters")
+    from .megakernel import pack_camera
+
+    program, leaf_tab = _pack_program(tape)
+    cam_row = pack_camera(camera)
+    return _render_tape_packed(
+        program, leaf_tab, cam_row, width, height, spp, max_bounces,
+        jnp.asarray(seed, jnp.int32), jnp.asarray(sample_offset, jnp.int32),
+        lens, sky, interpret,
+    )
