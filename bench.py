@@ -105,7 +105,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--backend", default="auto", choices=["auto", "jnp", "pallas"])
-    ap.add_argument("--frames", type=int, default=3)
+    ap.add_argument("--frames", type=int, default=2)
+    ap.add_argument(
+        "--p50", action="store_true",
+        help="also measure p50 frame time at 16 spp (second compile; slow)",
+    )
     args = ap.parse_args()
 
     backend = pick_backend(args.backend)
@@ -123,11 +127,17 @@ def main():
     total_time = sum(times)
     mrays = rays / total_time / 1e6
 
-    # --- secondary: p50 frame time at 16 spp ---
-    fn16 = build_renderer(width, height, 16 if not args.quick else 2, bounces, backend)
-    fn16(jnp.uint32(0))[0].block_until_ready()
-    t16, _ = time_frames(fn16, max(args.frames, 3))
-    p50_ms = statistics.median(t16) * 1e3
+    # --- secondary: p50 frame time at 16 spp (opt-in: costs a 2nd compile) ---
+    if args.p50:
+        fn16 = build_renderer(
+            width, height, 16 if not args.quick else 2, bounces, backend
+        )
+        fn16(jnp.uint32(0))[0].block_until_ready()
+        t16, _ = time_frames(fn16, max(args.frames, 3))
+        p50_ms = round(statistics.median(t16) * 1e3, 2)
+    else:
+        # estimate from the throughput config (spp-proportional workload)
+        p50_ms = round(statistics.median(times) * 1e3 * 16.0 / spp, 2)
 
     result = {
         "metric": "Mrays/sec/chip",
@@ -135,7 +145,8 @@ def main():
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
         "config": f"RTIOW-final {width}x{height} spp={spp} bounces={bounces}",
-        "p50_frame_ms_16spp": round(p50_ms, 2),
+        "p50_frame_ms_16spp": p50_ms,
+        "p50_measured": bool(args.p50),
         "backend": backend,
         "platform": platform,
         "frames": args.frames,

@@ -67,7 +67,10 @@ class PathTraceRenderer:
         animate: Optional[Callable] = None,
         progressive: bool = False,
         sample_offset: int = 0,
+        backend: str = "auto",
     ):
+        """``backend``: "auto" (Pallas kernels on accelerators, jnp on CPU),
+        "pallas", or "jnp"."""
         self.scene = scene
         self.camera = camera
         self.config = config
@@ -77,10 +80,15 @@ class PathTraceRenderer:
         self._sample_offset = sample_offset
 
         cfg = config
+        if backend == "auto":
+            backend = "pallas" if jax.devices()[0].platform != "cpu" else "jnp"
+        self.backend = backend
 
         def frame(scene, t, sample_base):
             if animate is not None:
                 scene = animate(scene, t)
+            if backend == "pallas":
+                return _render_pallas(scene, camera, cfg, sample_base)
             hit_fn = _hit_fn_for(scene, eps=1e-3)
             radiance, rays = integrator.render_image(
                 hit_fn,
@@ -125,4 +133,24 @@ def _hit_fn_for(scene, eps: float = 1e-3):
         return partial(SphereScene.nearest_hit, scene, eps=eps)
     if isinstance(scene, CompiledTape):
         return partial(integrator.tape_hit_adapter, scene, eps=eps)
+    raise TypeError(f"unsupported scene type {type(scene)}")
+
+
+def _render_pallas(scene, camera, cfg: RenderConfig, sample_base):
+    if isinstance(scene, SphereScene):
+        from ..kernels import render_image_pallas
+
+        return render_image_pallas(
+            scene, camera, cfg.width, cfg.height, spp=cfg.spp,
+            max_bounces=cfg.max_bounces, seed=cfg.seed, sky=cfg.sky,
+            lens=cfg.lens, sample_offset=sample_base,
+        )
+    if isinstance(scene, CompiledTape):
+        from ..kernels import render_image_tape_pallas
+
+        return render_image_tape_pallas(
+            scene, camera, cfg.width, cfg.height, spp=cfg.spp,
+            max_bounces=cfg.max_bounces, seed=cfg.seed, sky=cfg.sky,
+            lens=cfg.lens, sample_offset=sample_base,
+        )
     raise TypeError(f"unsupported scene type {type(scene)}")

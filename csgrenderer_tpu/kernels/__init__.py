@@ -1,3 +1,4 @@
 from .megakernel import pack_scene, render_image_pallas
+from .tape_kernel import render_image_tape_pallas
 
-__all__ = ["pack_scene", "render_image_pallas"]
+__all__ = ["pack_scene", "render_image_pallas", "render_image_tape_pallas"]

@@ -50,6 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..camera.pinhole import Camera
 from ..render.integrator import SphereScene
+from .common import scatter_planes, sky_planes
 
 TILE_ROWS = 8
 TILE_LANES = 128
@@ -90,7 +91,7 @@ def _dot3(ax, ay, az, bx, by, bz):
     return ax * bx + ay * by + az * bz
 
 
-def _make_kernel(width, height, spp, max_bounces, lens, s_pad, n_pix):
+def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix):
     """Build the kernel body with static config baked in."""
 
     inv_w = np.float32(1.0 / width)
@@ -203,80 +204,13 @@ def _make_kernel(width, height, spp, max_bounces, lens, s_pad, n_pix):
             u0, u1, u2, _u3 = _pcg4d_planes(
                 pix_u, s, b, jnp.broadcast_to(seed.astype(jnp.uint32), s.shape)
             )
-
-            # unit incoming direction
-            inv_len = jax.lax.rsqrt(jnp.maximum(_dot3(dx, dy, dz, dx, dy, dz),
-                                                jnp.float32(1e-20)))
-            udx, udy, udz = dx * inv_len, dy * inv_len, dz * inv_len
-
-            # random unit vector from (u0, u1)
-            z = 1.0 - 2.0 * u0
-            r_ = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
-            phi = jnp.float32(2.0 * np.pi) * u1
-            rux = r_ * jnp.cos(phi)
-            ruy = r_ * jnp.sin(phi)
-            ruz = z
-
-            # lambertian
-            lamx, lamy, lamz = nx + rux, ny + ruy, nz + ruz
-            lam_deg = _dot3(lamx, lamy, lamz, lamx, lamy, lamz) < jnp.float32(1e-12)
-            lamx = jnp.where(lam_deg, nx, lamx)
-            lamy = jnp.where(lam_deg, ny, lamy)
-            lamz = jnp.where(lam_deg, nz, lamz)
-
-            # metal
-            ud_dot_n = _dot3(udx, udy, udz, nx, ny, nz)
-            rfx = udx - 2.0 * ud_dot_n * nx
-            rfy = udy - 2.0 * ud_dot_n * ny
-            rfz = udz - 2.0 * ud_dot_n * nz
-            mex = rfx + param * rux
-            mey = rfy + param * ruy
-            mez = rfz + param * ruz
-            metal_absorbed = _dot3(mex, mey, mez, nx, ny, nz) <= 0.0
-
-            # dielectric
-            ior = jnp.maximum(param, jnp.float32(1e-6))
-            eta = jnp.where(front, 1.0 / ior, ior)
-            cos_t = jnp.minimum(-ud_dot_n, 1.0)
-            sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
-            cannot = eta * sin_t > 1.0
-            r0 = ((1.0 - eta) / (1.0 + eta)) ** 2
-            rp = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
-            use_refl = cannot | (u2 < rp)
-            ppx = eta * (udx + cos_t * nx)
-            ppy = eta * (udy + cos_t * ny)
-            ppz = eta * (udz + cos_t * nz)
-            pl2 = _dot3(ppx, ppy, ppz, ppx, ppy, ppz)
-            par = -jnp.sqrt(jnp.abs(1.0 - pl2))
-            refx = ppx + par * nx
-            refy = ppy + par * ny
-            refz = ppz + par * nz
-            dlx = jnp.where(use_refl, rfx, refx)
-            dly = jnp.where(use_refl, rfy, refy)
-            dlz = jnp.where(use_refl, rfz, refz)
-
-            is_lam = kind == 1.0
-            is_metal = kind == 2.0
-            is_diel = kind == 3.0
-            is_em = kind == 4.0
-            is_nm = kind == 0.0
-
-            ndx = jnp.where(is_lam, lamx, jnp.where(is_metal, mex, dlx))
-            ndy = jnp.where(is_lam, lamy, jnp.where(is_metal, mey, dly))
-            ndz = jnp.where(is_lam, lamz, jnp.where(is_metal, mez, dlz))
-            atr = jnp.where(is_diel, 1.0, ar)
-            atg = jnp.where(is_diel, 1.0, ag)
-            atb = jnp.where(is_diel, 1.0, ab)
-            emr = jnp.where(is_nm, 0.5 * (nx + 1.0), jnp.where(is_em, ar, 0.0))
-            emg = jnp.where(is_nm, 0.5 * (ny + 1.0), jnp.where(is_em, ag, 0.0))
-            emb = jnp.where(is_nm, 0.5 * (nz + 1.0), jnp.where(is_em, ab, 0.0))
-            term = is_nm | is_em | (is_metal & metal_absorbed)
-
-            # sky (rtiow gradient) for misses
-            sky_t = 0.5 * (udy + 1.0)
-            skr = (1.0 - sky_t) + sky_t * 0.5
-            skg = (1.0 - sky_t) + sky_t * 0.7
-            skb = (1.0 - sky_t) + sky_t * 1.0
+            (ndx, ndy, ndz), (atr, atg, atb), (emr, emg, emb), term, ud = (
+                scatter_planes(
+                    kind, param, (ar, ag, ab), (dx, dy, dz), (nx, ny, nz),
+                    front, u0, u1, u2,
+                )
+            )
+            skr, skg, skb = sky_planes(ud, sky)
 
             missed = active & ~hit
             hit_active = active & hit
@@ -458,7 +392,7 @@ def pack_camera(camera: Camera) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "spp", "max_bounces", "lens", "interpret"
+        "width", "height", "spp", "max_bounces", "lens", "sky", "interpret"
     ),
 )
 def _render_packed(
@@ -471,6 +405,7 @@ def _render_packed(
     seed,
     sample_offset,
     lens: bool,
+    sky: str,
     interpret: bool,
 ):
     n_pix = width * height
@@ -481,7 +416,7 @@ def _render_packed(
 
     s_pad = packed.cols.shape[0]  # static via the array shape
     kernel = _make_kernel(
-        width, height, spp, max_bounces, lens, s_pad, n_pix
+        width, height, spp, max_bounces, lens, sky, s_pad, n_pix
     )
     out_shape = (
         jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, TILE_LANES), jnp.float32),
@@ -540,8 +475,6 @@ def render_image_pallas(
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU) — the
     "fake backend" used by tests to validate against the jnp reference.
     """
-    if sky != "rtiow":
-        raise NotImplementedError("megakernel bakes the rtiow sky")
     if not jitter:
         raise NotImplementedError("megakernel always jitters (spp>=1)")
     packed = pack_scene(scene)
@@ -549,5 +482,5 @@ def render_image_pallas(
     return _render_packed(
         packed, cam_row, width, height, spp, max_bounces,
         jnp.asarray(seed, jnp.int32), jnp.asarray(sample_offset, jnp.int32),
-        lens, interpret,
+        lens, sky, interpret,
     )
