@@ -1,6 +1,7 @@
-from . import checkpoint, image
+from . import checkpoint, image, video
 from .checkpoint import Accumulator
 from .image import read_png, rmse, write_png, write_ppm
+from .video import write_gif
 
 __all__ = [
     "checkpoint",
@@ -10,4 +11,6 @@ __all__ = [
     "rmse",
     "write_png",
     "write_ppm",
+    "video",
+    "write_gif",
 ]
