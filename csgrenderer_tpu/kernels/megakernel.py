@@ -102,6 +102,7 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix):
         tile_idx = pl.program_id(0)
         seed = meta_ref[0, 0]
         sample_offset = meta_ref[0, 1]
+        pixel_offset = meta_ref[0, 2]  # global flat-pixel offset of this slab
 
         cam = [cam_ref[0, i] for i in range(19)]
         (cox, coy, coz, llx, lly, llz, hx, hy, hz, vx, vy, vz,
@@ -109,8 +110,11 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix):
 
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 0)
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 1)
-        pix = tile_idx * TILE + row_ids * TILE_LANES + lane_ids  # [8,128] i32
-        in_image = pix < n_pix
+        local_pix = tile_idx * TILE + row_ids * TILE_LANES + lane_ids  # [8,128]
+        in_image = local_pix < n_pix  # n_pix = pixels in THIS slab
+        # RNG counters and camera coords use GLOBAL pixel ids so any row
+        # sharding of the image reproduces the single-device render exactly.
+        pix = local_pix + pixel_offset
         px = (pix % width).astype(jnp.float32)
         py = (pix // width).astype(jnp.float32)
         pix_u = pix.astype(jnp.uint32)
@@ -392,7 +396,8 @@ def pack_camera(camera: Camera) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "spp", "max_bounces", "lens", "sky", "interpret"
+        "width", "height", "spp", "max_bounces", "lens", "sky", "interpret",
+        "rows",
     ),
 )
 def _render_packed(
@@ -407,12 +412,15 @@ def _render_packed(
     lens: bool,
     sky: str,
     interpret: bool,
+    rows: int,
+    row_offset,
 ):
-    n_pix = width * height
+    n_pix = width * rows  # this slab's pixel count (rows == height unsharded)
     n_tiles = pl.cdiv(n_pix, TILE)
     meta = jnp.zeros((1, _META_SIZE), jnp.int32)
     meta = meta.at[0, 0].set(jnp.asarray(seed, jnp.int32))
     meta = meta.at[0, 1].set(jnp.asarray(sample_offset, jnp.int32))
+    meta = meta.at[0, 2].set(jnp.asarray(row_offset, jnp.int32) * width)
 
     s_pad = packed.cols.shape[0]  # static via the array shape
     kernel = _make_kernel(
@@ -452,7 +460,7 @@ def _render_packed(
     flat = jnp.stack(
         [r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1
     )[:n_pix]
-    image = flat.reshape(height, width, 3) / spp
+    image = flat.reshape(rows, width, 3) / spp
     return image, jnp.sum(rays)
 
 
@@ -469,11 +477,16 @@ def render_image_pallas(
     lens: bool = False,
     sample_offset=0,
     interpret: bool = False,
+    rows: int | None = None,
+    row_offset=0,
 ):
-    """Drop-in for ``integrator.render_image`` on SphereScene (rtiow sky).
+    """Drop-in for ``integrator.render_image`` on SphereScene.
 
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU) — the
     "fake backend" used by tests to validate against the jnp reference.
+    ``rows``/``row_offset`` render a full-width horizontal slab of the
+    ``width x height`` image (the sharding primitive; RNG and camera stay
+    functions of global pixel coordinates, mirroring integrator.render_tile).
     """
     if not jitter:
         raise NotImplementedError("megakernel always jitters (spp>=1)")
@@ -483,4 +496,6 @@ def render_image_pallas(
         packed, cam_row, width, height, spp, max_bounces,
         jnp.asarray(seed, jnp.int32), jnp.asarray(sample_offset, jnp.int32),
         lens, sky, interpret,
+        height if rows is None else rows,
+        jnp.asarray(row_offset, jnp.int32),
     )

@@ -263,6 +263,7 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix):
         tile_idx = pl.program_id(0)
         seed = meta_ref[0, 0]
         sample_offset = meta_ref[0, 1]
+        pixel_offset = meta_ref[0, 2]  # global flat-pixel offset of this slab
 
         cam = [cam_ref[0, i] for i in range(19)]
         (cox, coy, coz, llx, lly, llz, hx, hy, hz, vx, vy, vz,
@@ -273,8 +274,10 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix):
 
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 0)
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 1)
-        pix = tile_idx * TILE + row_ids * TILE_LANES + lane_ids
-        in_image = pix < n_pix
+        local_pix = tile_idx * TILE + row_ids * TILE_LANES + lane_ids
+        in_image = local_pix < n_pix  # n_pix = pixels in THIS slab
+        # global pixel ids keep RNG/camera sharding-invariant
+        pix = local_pix + pixel_offset
         px = (pix % width).astype(jnp.float32)
         py = (pix // width).astype(jnp.float32)
         pix_u = pix.astype(jnp.uint32)
@@ -494,18 +497,19 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix):
     jax.jit,
     static_argnames=(
         "program", "width", "height", "spp", "max_bounces", "lens", "sky",
-        "interpret",
+        "interpret", "rows",
     ),
 )
 def _render_tape_packed(
     program, leaf_tab, cam_row, width, height, spp, max_bounces,
-    seed, sample_offset, lens, sky, interpret,
+    seed, sample_offset, lens, sky, interpret, rows, row_offset,
 ):
-    n_pix = width * height
+    n_pix = width * rows  # this slab's pixel count (rows == height unsharded)
     n_tiles = pl.cdiv(n_pix, TILE)
     meta = jnp.zeros((1, META_SIZE), jnp.int32)
     meta = meta.at[0, 0].set(jnp.asarray(seed, jnp.int32))
     meta = meta.at[0, 1].set(jnp.asarray(sample_offset, jnp.int32))
+    meta = meta.at[0, 2].set(jnp.asarray(row_offset, jnp.int32) * width)
 
     kernel = _make_kernel(
         program, width, height, spp, max_bounces, lens, sky, n_pix
@@ -534,7 +538,7 @@ def _render_tape_packed(
     )(cam_row, meta, leaf_tab)
 
     flat = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
-    image = flat[:n_pix].reshape(height, width, 3) / spp
+    image = flat[:n_pix].reshape(rows, width, 3) / spp
     return image, jnp.sum(rays)
 
 
@@ -551,8 +555,14 @@ def render_image_tape_pallas(
     lens: bool = False,
     sample_offset=0,
     interpret: bool = False,
+    rows: int | None = None,
+    row_offset=0,
 ):
-    """Drop-in for ``integrator.render_image`` on a CompiledTape scene."""
+    """Drop-in for ``integrator.render_image`` on a CompiledTape scene.
+
+    ``rows``/``row_offset`` render a full-width horizontal slab (see
+    megakernel.render_image_pallas).
+    """
     if not jitter:
         raise NotImplementedError("tape kernel always jitters")
     from .megakernel import pack_camera
@@ -563,4 +573,6 @@ def render_image_tape_pallas(
         program, leaf_tab, cam_row, width, height, spp, max_bounces,
         jnp.asarray(seed, jnp.int32), jnp.asarray(sample_offset, jnp.int32),
         lens, sky, interpret,
+        height if rows is None else rows,
+        jnp.asarray(row_offset, jnp.int32),
     )

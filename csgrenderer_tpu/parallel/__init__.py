@@ -1,5 +1,5 @@
 from .mesh import SAMPLE_AXIS, TILE_AXIS, make_mesh, single_device_mesh
-from .shard import render_image_sharded
+from .shard import render_image_sharded, render_scene_sharded
 
 __all__ = [
     "TILE_AXIS",
@@ -7,4 +7,5 @@ __all__ = [
     "make_mesh",
     "single_device_mesh",
     "render_image_sharded",
+    "render_scene_sharded",
 ]

@@ -102,3 +102,99 @@ def render_image_sharded(
     )
     stacked, rays = fn()
     return stacked.reshape(height, width, 3), rays
+
+
+def render_scene_sharded(
+    scene,
+    camera,
+    width: int,
+    height: int,
+    mesh: Mesh,
+    spp: int = 1,
+    max_bounces: int = 8,
+    seed: int = 0,
+    sky: str = "rtiow",
+    lens: bool = False,
+    sample_offset: int = 0,
+    backend: str = "auto",
+    interpret: bool = False,
+):
+    """Scene-level sharded render: Pallas kernels inside shard_map.
+
+    The production multi-chip configuration: each device runs the fused
+    megakernel (SphereScene) or CSG tape kernel (CompiledTape) on its row
+    slab x sample shard; one psum over the sample axis accumulates. RNG and
+    camera use global pixel coordinates inside the kernels, so any mesh
+    shape reproduces the single-device image (same invariant as the jnp
+    path, tested on the CPU mesh with interpret=True).
+
+    ``backend``: "pallas" | "jnp" | "auto" (pallas off-CPU).
+    """
+    import jax as _jax
+
+    from ..render.integrator import SphereScene
+    from ..scene.tape import CompiledTape
+
+    if backend == "auto":
+        backend = "pallas" if _jax.devices()[0].platform != "cpu" else "jnp"
+    if backend == "jnp":
+        if isinstance(scene, SphereScene):
+            hit_fn = scene.nearest_hit
+        else:
+            from functools import partial
+
+            from ..render.integrator import tape_hit_adapter
+
+            hit_fn = partial(tape_hit_adapter, scene)
+        return render_image_sharded(
+            hit_fn, camera, width, height, mesh, spp=spp,
+            max_bounces=max_bounces, seed=seed, sky=sky, lens=lens,
+            sample_offset=sample_offset,
+        )
+
+    tile_ways = mesh.shape[TILE_AXIS]
+    sample_ways = mesh.shape[SAMPLE_AXIS]
+    if height % tile_ways:
+        raise ValueError(f"height {height} not divisible by tile axis {tile_ways}")
+    if spp % sample_ways:
+        raise ValueError(f"spp {spp} not divisible by sample axis {sample_ways}")
+    rows_local = height // tile_ways
+    spp_local = spp // sample_ways
+
+    def shard_fn():
+        tile_idx = lax.axis_index(TILE_AXIS)
+        sample_idx = lax.axis_index(SAMPLE_AXIS)
+        y0 = tile_idx * rows_local
+        s0 = sample_offset + sample_idx * spp_local
+        kwargs = dict(
+            spp=spp_local, max_bounces=max_bounces, seed=seed, sky=sky,
+            lens=lens, sample_offset=s0, rows=rows_local, row_offset=y0,
+            interpret=interpret,
+        )
+        if isinstance(scene, SphereScene):
+            from ..kernels import render_image_pallas
+
+            radiance, rays = render_image_pallas(
+                scene, camera, width, height, **kwargs
+            )
+        elif isinstance(scene, CompiledTape):
+            from ..kernels import render_image_tape_pallas
+
+            radiance, rays = render_image_tape_pallas(
+                scene, camera, width, height, **kwargs
+            )
+        else:
+            raise TypeError(f"unsupported scene type {type(scene)}")
+        radiance_sum = lax.psum(radiance * spp_local, SAMPLE_AXIS)
+        rays = lax.psum(rays, (TILE_AXIS, SAMPLE_AXIS))
+        return radiance_sum[None] / spp, rays
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(),
+        out_specs=(P(TILE_AXIS, None, None, None), P()),
+        check_vma=False,
+    )
+    stacked, rays = fn()
+    return stacked.reshape(height, width, 3), rays

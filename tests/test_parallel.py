@@ -61,3 +61,45 @@ def test_mesh_validation():
         render_image_sharded(scene.nearest_hit, cam, 64, 30, mesh, spp=4)
     with pytest.raises(ValueError, match="divisible"):
         render_image_sharded(scene.nearest_hit, cam, 64, 32, mesh, spp=3)
+
+
+def test_pallas_sharded_matches_jnp_sharded(setup):
+    # the production config: Pallas kernels inside shard_map (interpret mode
+    # on the CPU mesh); must reproduce the single-device jnp image
+    from csgrenderer_tpu.parallel import render_scene_sharded
+
+    scene, cam, ref, ref_rays = setup
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    img, rays = render_scene_sharded(
+        scene, cam, 64, 32, mesh, spp=8, max_bounces=4, seed=9,
+        backend="pallas", interpret=True,
+    )
+    img = np.asarray(img)
+    assert img.shape == (32, 64, 3)
+    # kernel-vs-jnp differences are the usual float-grouping silhouette
+    # flips; nearly every pixel must agree
+    bad = (np.abs(img - ref).max(axis=-1) > 0.05).mean()
+    assert bad <= 0.01, f"{bad:.3%} divergent"
+    assert abs(int(rays) - ref_rays) <= max(ref_rays * 2e-3, 8)
+
+
+def test_pallas_sharded_tape_scene(setup):
+    from csgrenderer_tpu.models import config3_csg_scene
+    from csgrenderer_tpu.parallel import render_scene_sharded
+    from csgrenderer_tpu.render import render_image, tape_hit_adapter
+    from functools import partial
+
+    tape = config3_csg_scene().compile(k=2)
+    cam = Camera.look_at((3, 2.5, 4), (0.1, 0, 0), vfov_degrees=35,
+                         aspect_ratio=1.0)
+    ref, ref_rays = render_image(
+        partial(tape_hit_adapter, tape), cam, 32, 32, spp=2, max_bounces=3,
+        seed=3,
+    )
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    img, rays = render_scene_sharded(
+        tape, cam, 32, 32, mesh, spp=2, max_bounces=3, seed=3,
+        backend="pallas", interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-4)
+    assert int(rays) == int(ref_rays)
