@@ -26,9 +26,11 @@ Layout decisions (the heart of the design):
   matmul ([16, S] @ [S, 128]) instead of a gather — the TPU way to index a
   table; sphere centers are stored hi/lo-split in the table so bf16 rounding
   costs nothing (see pack_scene).
-- The bounce "recursion" is a static fori_loop whose body EARLY-EXITS via
-  lax.cond as soon as a tile's rays are all terminated (primary-ray
-  coherence means sky tiles pay for one bounce, not max_bounces).
+- The sample x bounce nest is a single WAVEFRONT while_loop: every lane owns
+  one pixel and immediately regenerates its next camera sample when its path
+  terminates (per-lane sample/bounce counters), so lane occupancy stays near
+  100% instead of draining to the longest path each sample (SURVEY §7
+  "active-ray compaction", realized per-tile).
 - RNG is the same counter-based PCG4D as the jnp path (render/sampling.py),
   on uint32 planes, so kernel output matches the reference implementation
   sample-for-sample and stays sharding-invariant.
