@@ -132,6 +132,9 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix):
         cyb = jnp.broadcast_to(cols_ref[:, 1:2], shape)
         czb = jnp.broadcast_to(cols_ref[:, 2:3], shape)
         ccr2b = jnp.broadcast_to(cols_ref[:, 3:4], shape)
+        c2xb = jnp.broadcast_to(cols_ref[:, 4:5], shape)  # 2 * center
+        c2yb = jnp.broadcast_to(cols_ref[:, 5:6], shape)
+        c2zb = jnp.broadcast_to(cols_ref[:, 6:7], shape)
 
         def intersect_tile(ox, oy, oz, dx, dy, dz):
             """Nearest hit for the whole tile. Returns planes."""
@@ -140,26 +143,35 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix):
             a = _dot3(dx, dy, dz, dx, dy, dz)
             inv_a = 1.0 / a
 
+            # the per-ray 1/a scale is deferred to the per-group winner:
+            # a > 0, so ordering and eps tests hold on t*a directly, saving
+            # two [s_pad,128] multiplies per group in the hot loop
+            eps_a = jnp.float32(1e-3) * a
+
             t_rows = []
             attr_rows = []
             for g in range(TILE_ROWS):
                 dxr, dyr, dzr = dx[g:g+1], dy[g:g+1], dz[g:g+1]
                 oxr, oyr, ozr = ox[g:g+1], oy[g:g+1], oz[g:g+1]
                 c_dot_d = cxb * dxr + cyb * dyr + czb * dzr  # [s_pad,128]
-                c_dot_o = cxb * oxr + cyb * oyr + czb * ozr
+                c2_dot_o = c2xb * oxr + c2yb * oyr + c2zb * ozr  # 2c . o
                 half_b = od[g:g+1] - c_dot_d
-                cterm = oo[g:g+1] - 2.0 * c_dot_o + ccr2b
+                cterm = oo[g:g+1] - c2_dot_o + ccr2b
                 a_row = a[g:g+1]
                 disc = half_b * half_b - a_row * cterm
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                inv_a_row = inv_a[g:g+1]
-                t0 = (-half_b - sq) * inv_a_row
-                t1 = (-half_b + sq) * inv_a_row
-                t = jnp.where(t0 > jnp.float32(1e-3), t0, t1)
-                valid = (disc > 0.0) & (t > jnp.float32(1e-3))
-                t = jnp.where(valid, t, BIG)
-                t_best = jnp.min(t, axis=0, keepdims=True)  # [1,128]
-                cand = jnp.where(t == t_best, sphere_iota, jnp.int32(s_pad))
+                # no max(disc, 0) and no disc>0 test: sqrt(neg) -> NaN, and
+                # NaN compares falsify both selections, routing misses to BIG
+                sq = jnp.sqrt(disc)
+                ta0 = -half_b - sq  # = t0 * a
+                ta1 = -half_b + sq
+                eps_row = eps_a[g:g+1]
+                ta = jnp.where(ta0 > eps_row, ta0, ta1)
+                ta = jnp.where(ta > eps_row, ta, BIG)
+                ta_best = jnp.min(ta, axis=0, keepdims=True)  # [1,128]
+                t_best = jnp.where(
+                    ta_best < BIG_CUT, ta_best * inv_a[g:g+1], BIG
+                )
+                cand = jnp.where(ta == ta_best, sphere_iota, jnp.int32(s_pad))
                 sel = jnp.min(cand, axis=0, keepdims=True)  # [1,128]
                 onehot = (sphere_iota == sel).astype(jnp.float32)  # [s_pad,128]
                 # Single-pass bf16 MXU gather: safe because the table stores
@@ -367,6 +379,7 @@ def pack_scene(scene: SphereScene) -> _PackedScene:
     attr = np.zeros((16, s_pad), np.float32)
     cols[:s, 0:3] = c
     cols[:s, 3] = np.sum(c * c, axis=1) - r * r
+    cols[:s, 4:7] = 2.0 * c  # pre-scaled for the c-term dot (saves a mul)
     # padding spheres: huge positive c-term constant => disc < 0 always
     cols[s:, 3] = 1e30
 
