@@ -57,7 +57,12 @@ class MeshConfig:
 
 
 def enable_debug_mode() -> None:
-    """The 'validation layer' switch (SURVEY §5): NaN debugging on."""
+    """The 'validation layer' switch (SURVEY §5): NaN debugging on.
+
+    The analog of the reference's Vulkan validation layers
+    (``renderer.c:397``, gated by WO_DEBUG): numerical faults raise at the
+    originating op instead of silently propagating.
+    """
     import jax
 
     jax.config.update("jax_debug_nans", True)
@@ -67,3 +72,26 @@ def disable_debug_mode() -> None:
     import jax
 
     jax.config.update("jax_debug_nans", False)
+
+
+def checked(fn):
+    """Wrap a jittable function with ``checkify`` float/NaN/div checks.
+
+    The second half of the 'validation layer' story: unlike
+    ``enable_debug_mode`` (a global, eager-failing switch), this instruments
+    one function functionally — checks run *inside* jit on device and
+    ``throw()`` on the host afterwards. Use on render steps under test:
+
+        img, rays = checked(render_fn)(scene, t)
+    """
+    import jax
+    from jax.experimental import checkify
+
+    checked_fn = jax.jit(checkify.checkify(fn, errors=checkify.float_checks))
+
+    def wrapper(*args, **kwargs):
+        err, out = checked_fn(*args, **kwargs)
+        checkify.check_error(err)
+        return out
+
+    return wrapper

@@ -103,3 +103,39 @@ def test_gif_rejects_empty_and_mismatched(tmp_path):
             tmp_path / "y.gif",
             [np.zeros((4, 4, 3), np.uint8), np.zeros((5, 4, 3), np.uint8)],
         )
+
+
+def test_checked_wrapper_passes_clean_fn():
+    from csgrenderer_tpu.utils.config import checked
+
+    f = checked(lambda x: jnp.sqrt(x) + 1.0)
+    np.testing.assert_allclose(np.asarray(f(jnp.float32(4.0))), 3.0)
+
+
+def test_checked_wrapper_catches_nan():
+    from jax.experimental import checkify
+
+    from csgrenderer_tpu.utils.config import checked
+
+    f = checked(lambda x: jnp.sqrt(x))  # sqrt(-1) -> NaN
+    with pytest.raises((checkify.JaxRuntimeError, ValueError)):
+        f(jnp.float32(-1.0))
+
+
+def test_checked_render_step_is_clean():
+    # the reference-implementation render path must be NaN/div-free under
+    # full float checks (the 'validation layer' smoke test)
+    from csgrenderer_tpu.camera import Camera
+    from csgrenderer_tpu.models import two_spheres_scene
+    from csgrenderer_tpu.render import render_image
+    from csgrenderer_tpu.utils.config import checked
+
+    scene = two_spheres_scene()
+    cam = Camera.look_at((0, 0, 0), (0, 0, -1), vfov_degrees=90,
+                         aspect_ratio=2.0)
+    f = checked(
+        lambda s: render_image(s.nearest_hit, cam, 32, 16, spp=1,
+                               max_bounces=3, seed=0)[0]
+    )
+    img = f(scene)
+    assert not np.isnan(np.asarray(img)).any()
