@@ -52,45 +52,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..camera.pinhole import Camera
 from ..render.integrator import SphereScene
-from .common import scatter_planes, sky_planes
-
-TILE_ROWS = 8
-TILE_LANES = 128
-TILE = TILE_ROWS * TILE_LANES  # rays per grid step
-
-BIG = np.float32(1e30)
-BIG_CUT = np.float32(5e29)
-
-# Camera scalar layout in the f32 param row (SMEM)
-_CAM_SIZE = 24
-_META_SIZE = 8  # (seed, sample_offset) + padding
-
-
-def _pcg4d_planes(a, b, c, d):
-    """PCG4D over uint32 planes (same algorithm as render/sampling.py)."""
-    mul = jnp.uint32(1664525)
-    inc = jnp.uint32(1013904223)
-    v = [x * mul + inc for x in (a, b, c, d)]
-    v[0] = v[0] + v[1] * v[3]
-    v[1] = v[1] + v[2] * v[0]
-    v[2] = v[2] + v[0] * v[1]
-    v[3] = v[3] + v[1] * v[2]
-    v = [x ^ (x >> jnp.uint32(16)) for x in v]
-    v[0] = v[0] + v[1] * v[3]
-    v[1] = v[1] + v[2] * v[0]
-    v[2] = v[2] + v[0] * v[1]
-    v[3] = v[3] + v[1] * v[2]
-    scale = jnp.float32(1.0 / 16777216.0)
-    # Mosaic has no uint32->f32 cast; after >>8 the value fits 24 bits, so
-    # int32 round-trip is exact.
-    return tuple(
-        (x >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * scale
-        for x in v
-    )
-
-
-def _dot3(ax, ay, az, bx, by, bz):
-    return ax * bx + ay * by + az * bz
+from .common import (
+    BIG,
+    BIG_CUT,
+    CAM_SIZE as _CAM_SIZE,
+    META_SIZE as _META_SIZE,
+    TILE,
+    TILE_LANES,
+    TILE_ROWS,
+    dot3 as _dot3,
+    pcg4d_planes as _pcg4d_planes,
+    scatter_planes,
+    sky_planes,
+)
 
 
 def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix):

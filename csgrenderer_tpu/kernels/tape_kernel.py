@@ -41,9 +41,6 @@ from ..camera.pinhole import Camera
 from ..scene.graph import NodeType
 from ..scene.tape import OP_DIFF, OP_INTERSECT, OP_PUSH, OP_UNION, CompiledTape
 from .common import (
-    BIG,
-    BIG_CUT,
-    CAM_SIZE,
     META_SIZE,
     TILE,
     TILE_LANES,
