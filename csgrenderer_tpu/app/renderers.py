@@ -80,6 +80,10 @@ class PathTraceRenderer:
         self._sample_offset = sample_offset
 
         cfg = config
+        if cfg.debug:
+            from ..utils.config import enable_debug_mode
+
+            enable_debug_mode()
         if backend == "auto":
             backend = "pallas" if jax.devices()[0].platform != "cpu" else "jnp"
         self.backend = backend

@@ -23,7 +23,6 @@ class RenderConfig:
     gamma: float = 2.0
     jitter: bool = True
     lens: bool = False
-    interval_k: int = 8  # CSG interval-list capacity
     debug: bool = False  # enables NaN checking (the "validation layer" mode)
 
     def __post_init__(self):
