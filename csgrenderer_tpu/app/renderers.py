@@ -68,9 +68,11 @@ class PathTraceRenderer:
         progressive: bool = False,
         sample_offset: int = 0,
         backend: str = "auto",
+        interpret: bool = False,
     ):
         """``backend``: "auto" (Pallas kernels on accelerators, jnp on CPU),
-        "pallas", or "jnp"."""
+        "pallas", or "jnp". ``interpret`` runs Pallas kernels in the
+        interpreter (testing the pallas path on CPU)."""
         self.scene = scene
         self.camera = camera
         self.config = config
@@ -92,7 +94,7 @@ class PathTraceRenderer:
             if animate is not None:
                 scene = animate(scene, t)
             if backend == "pallas":
-                return _render_pallas(scene, camera, cfg, sample_base)
+                return _render_pallas(scene, camera, cfg, sample_base, interpret)
             hit_fn = _hit_fn_for(scene, eps=1e-3)
             radiance, rays = integrator.render_image(
                 hit_fn,
@@ -109,7 +111,9 @@ class PathTraceRenderer:
             )
             return radiance, rays
 
-        self._frame = jax.jit(frame)
+        # The Pallas wrappers jit internally and pack scene tables with host
+        # numpy, so they must see concrete arrays — no outer jit there.
+        self._frame = frame if backend == "pallas" else jax.jit(frame)
         self._tonemap = jax.jit(
             lambda lin: tonemap.to_uint8(tonemap.tonemap(lin, gamma=cfg.gamma))
         )
@@ -140,14 +144,14 @@ def _hit_fn_for(scene, eps: float = 1e-3):
     raise TypeError(f"unsupported scene type {type(scene)}")
 
 
-def _render_pallas(scene, camera, cfg: RenderConfig, sample_base):
+def _render_pallas(scene, camera, cfg: RenderConfig, sample_base, interpret=False):
     if isinstance(scene, SphereScene):
         from ..kernels import render_image_pallas
 
         return render_image_pallas(
             scene, camera, cfg.width, cfg.height, spp=cfg.spp,
             max_bounces=cfg.max_bounces, seed=cfg.seed, sky=cfg.sky,
-            lens=cfg.lens, sample_offset=sample_base,
+            lens=cfg.lens, sample_offset=sample_base, interpret=interpret,
         )
     if isinstance(scene, CompiledTape):
         from ..kernels import render_image_tape_pallas
@@ -155,6 +159,6 @@ def _render_pallas(scene, camera, cfg: RenderConfig, sample_base):
         return render_image_tape_pallas(
             scene, camera, cfg.width, cfg.height, spp=cfg.spp,
             max_bounces=cfg.max_bounces, seed=cfg.seed, sky=cfg.sky,
-            lens=cfg.lens, sample_offset=sample_base,
+            lens=cfg.lens, sample_offset=sample_base, interpret=interpret,
         )
     raise TypeError(f"unsupported scene type {type(scene)}")

@@ -63,3 +63,20 @@ def test_progressive_renderer_accumulates_through_app():
     d12 = np.abs(frames[1].astype(int) - frames[2].astype(int)).mean()
     assert d01 > 0
     assert d12 <= d01 + 1e-9
+
+
+def test_path_trace_renderer_pallas_backend_interpret():
+    # regression: the pallas frame path must NOT be wrapped in an outer jit
+    # (scene packing needs concrete arrays); exercised via interpret mode
+    cam = Camera.look_at((0, 0, 0), (0, 0, -1), vfov_degrees=90,
+                         aspect_ratio=2.0)
+    r = PathTraceRenderer(
+        two_spheres_scene(), cam,
+        RenderConfig(width=64, height=32, spp=1, max_bounces=2, seed=1),
+        backend="pallas", interpret=True, progressive=True,
+    )
+    f1 = np.asarray(r.draw_frame(0.0))
+    f2 = np.asarray(r.draw_frame(0.0))
+    assert f1.shape == (32, 64, 3)
+    assert int(r.accumulator.sample_count) == 2
+    assert r.last_frame_rays > 0
