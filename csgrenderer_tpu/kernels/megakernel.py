@@ -36,7 +36,9 @@ Layout decisions (the heart of the design):
   sample-for-sample and stays sharding-invariant.
 
 Rays are counted as actually-traced segments (sum of active lanes per wave),
-matching SURVEY §5's Mrays accounting.
+matching SURVEY §5's Mrays accounting. Counters are int32: a single call is
+good for ~2e9 segments (e.g. 4K at ~100 spp); accumulate across calls in
+Python (the progressive renderer does) for more.
 """
 
 from __future__ import annotations
