@@ -12,10 +12,13 @@ render/tape_eval.py):
 
 - convex leaf -> one (enter, exit) interval, computed in the leaf's local
   frame via quaternion rotation from SMEM scalars;
-- boolean combine = event-form: merge the 4K+1 endpoints with an odd-even
-  transposition network of plane min/max ops, evaluate insideness at segment
-  midpoints by interval membership, flag result starts/ends, and compact
-  them into K slots with running-rank selects (no scatter, no sort-of-keys);
+- boolean combine = event-form: the two operands' interleaved endpoints are
+  each already sorted (disjoint sorted intervals), so a Batcher odd-even
+  MERGE network of plane min/max ops (25 comparators at K=4, vs ~145 for a
+  full sort) yields the 4K+1 sorted events; insideness is evaluated at
+  segment midpoints by interval membership, result starts/ends are flagged
+  and compacted into K slots with running-rank selects (no scatter, no
+  sort-of-keys); K must be a power of two;
 - nearest surface = min over slot boundaries with t > eps; the ``entering``
   flag (is the nearest boundary an interval start?) is the solid-level
   front-face used by dielectrics — correct on subtracted surfaces where a
@@ -162,24 +165,36 @@ def _single_to_list(enter, exit_, k, far_plane):
     return t_in, t_out
 
 
-def _sort_planes(planes):
-    """Odd-even transposition sort across a list of planes (per-lane)."""
-    n = len(planes)
-    planes = list(planes)
-    for p in range(n):
-        start = p % 2
-        for i in range(start, n - 1, 2):
-            lo = jnp.minimum(planes[i], planes[i + 1])
-            hi = jnp.maximum(planes[i], planes[i + 1])
-            planes[i], planes[i + 1] = lo, hi
-    return planes
+def _merge_sorted_planes(a, b):
+    """Batcher odd-even merge of two SORTED plane lists (per-lane).
+
+    Comparator count n·log2(n)/... = 25 for 8+8 vs ~145 for a transposition
+    sort of 17 — the inputs are presorted because a disjoint interval list's
+    interleaved endpoints (in0 <= out0 <= in1 <= ...) are already ordered.
+    Requires len(a) == len(b) == power of two.
+    """
+    n = len(a)
+    if n == 1:
+        return [jnp.minimum(a[0], b[0]), jnp.maximum(a[0], b[0])]
+    even = _merge_sorted_planes(a[0::2], b[0::2])  # length n
+    odd = _merge_sorted_planes(a[1::2], b[1::2])  # length n
+    out = [even[0]]
+    for i in range(n - 1):
+        out.append(jnp.minimum(odd[i], even[i + 1]))
+        out.append(jnp.maximum(odd[i], even[i + 1]))
+    out.append(odd[n - 1])
+    return out
 
 
 def _combine(a, b, op, k, zero_plane, far_plane):
     """Boolean-combine two K-slot interval lists (lists of planes)."""
     a_in, a_out = a
     b_in, b_out = b
-    events = _sort_planes([zero_plane] + a_in + a_out + b_in + b_out)
+    # interleaved endpoints of a sorted disjoint list are themselves sorted,
+    # and the zero plane precedes everything (lists are clipped to [0, FAR])
+    a_ev = [p for pair in zip(a_in, a_out) for p in pair]
+    b_ev = [p for pair in zip(b_in, b_out) for p in pair]
+    events = [zero_plane] + _merge_sorted_planes(a_ev, b_ev)
     n = len(events)  # 4k + 1
 
     def inside(l_in, l_out, m):
@@ -236,6 +251,10 @@ def _combine(a, b, op, k, zero_plane, far_plane):
 
 def _pack_program(tape: CompiledTape):
     """Static program tuple (hashable) + dynamic leaf table [L, 16]."""
+    if tape.k & (tape.k - 1):
+        raise ValueError(
+            f"tape kernel requires a power-of-two interval capacity k, got {tape.k}"
+        )
     program = (tuple(tape.ops), tuple(tape.leaf_types), int(tape.k))
     L = tape.n_leaves
     tab = jnp.zeros((L, LEAF_ROW), jnp.float32)
