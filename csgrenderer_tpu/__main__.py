@@ -80,7 +80,6 @@ def cmd_render(args):
 
     from csgrenderer_tpu.app import PathTraceRenderer, WololoRenderer
     from csgrenderer_tpu.io import image
-    from csgrenderer_tpu.render import tonemap
     from csgrenderer_tpu.utils.config import RenderConfig
 
     if args.scene == "milestone01":

@@ -22,7 +22,7 @@ from typing import Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from .graph import Material, NodeArgument, NodeType, _as_arg
+from .graph import Material, NodeType, _as_arg
 from .tape import CompiledTape
 
 _NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent.parent / "native"

@@ -9,7 +9,7 @@ maps the reference's Vulkan validation layers onto JAX's checking tools
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)
