@@ -24,6 +24,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
 from ..camera.pinhole import WololoCamera, pixel_st_grid
@@ -32,8 +33,10 @@ from ..scene.tape import CompiledTape
 from . import intersect, materials, tape_eval
 from .sampling import sample_in_unit_disk, uniform4
 
-WHITE = jnp.array([1.0, 1.0, 1.0], jnp.float32)
-SKY_BLUE = jnp.array([0.5, 0.7, 1.0], jnp.float32)
+# np (not jnp) so importing this module never initializes a jax backend
+# (the driver's dryrun must pick its platform before any backend exists)
+WHITE = np.array([1.0, 1.0, 1.0], np.float32)
+SKY_BLUE = np.array([0.5, 0.7, 1.0], np.float32)
 
 
 def sky_color(d: Array, mode: str = "rtiow") -> Array:

@@ -23,11 +23,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
-INF = jnp.float32(jnp.inf)
-T_FAR = jnp.float32(1e9)  # finite stand-in for +inf inside interval algebra
-T_NEG = jnp.float32(-1e9)
+INF = np.float32(np.inf)
+T_FAR = np.float32(1e9)  # finite stand-in for +inf inside interval algebra
+T_NEG = np.float32(-1e9)
 
 
 # ---------------------------------------------------------------------------

@@ -28,12 +28,13 @@ from __future__ import annotations
 from functools import partial
 
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
 from .intersect import T_FAR
 
 # Real surfaces live well below this; boundaries at/above are "at infinity".
-_SURFACE_CUTOFF = jnp.float32(5e8)
+_SURFACE_CUTOFF = np.float32(5e8)
 
 
 def empty_list(batch_shape: tuple, k: int) -> tuple[Array, Array]:
