@@ -94,10 +94,15 @@ def time_frames(fn, n_frames, spp_note=""):
     for i in range(n_frames):
         t0 = time.perf_counter()
         img, rays = fn(jnp.uint32(i + 1))
-        img.block_until_ready()
+        # The forcing scalar readback MUST be inside the timed window:
+        # under the axon tunnel block_until_ready() can return before the
+        # device work drains (CLAUDE.md / PERF_NOTES measurement rule), and
+        # int(rays) is the only reliable fence. Reading the ray counter
+        # also transfers the image's sibling output, so no work escapes.
+        r = int(rays)
         dt = time.perf_counter() - t0
         times.append(dt)
-        total_rays += int(rays)
+        total_rays += r
     return times, total_rays
 
 
@@ -107,8 +112,10 @@ def main():
     ap.add_argument("--backend", default="auto", choices=["auto", "jnp", "pallas"])
     ap.add_argument("--frames", type=int, default=2)
     ap.add_argument(
-        "--p50", action="store_true",
-        help="also measure p50 frame time at 16 spp (second compile; slow)",
+        "--p50", default=True,
+        action=argparse.BooleanOptionalAction,
+        help="measure p50 frame time at 16 spp (second compile); "
+        "--no-p50 estimates it from the throughput run instead",
     )
     args = ap.parse_args()
 
@@ -122,7 +129,7 @@ def main():
 
     # --- main throughput config ---
     fn = build_renderer(width, height, spp, bounces, backend)
-    fn(jnp.uint32(0))[0].block_until_ready()  # compile + warm up
+    int(fn(jnp.uint32(0))[1])  # compile + warm up (scalar readback = fence)
     times, rays = time_frames(fn, args.frames)
     total_time = sum(times)
     mrays = rays / total_time / 1e6
@@ -132,7 +139,7 @@ def main():
         fn16 = build_renderer(
             width, height, 16 if not args.quick else 2, bounces, backend
         )
-        fn16(jnp.uint32(0))[0].block_until_ready()
+        int(fn16(jnp.uint32(0))[1])  # compile + warm up
         t16, _ = time_frames(fn16, max(args.frames, 3))
         p50_ms = round(statistics.median(t16) * 1e3, 2)
     else:

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import sys
+from pathlib import Path
 
 
 def _add_common(ap):
@@ -183,7 +184,12 @@ def main(argv=None):
     if args.cmd == "bench":
         import subprocess
 
-        cmd = [sys.executable, "bench.py"] + (["--quick"] if args.quick else [])
+        # resolve relative to the package so `python -m csgrenderer_tpu
+        # bench` works from any CWD
+        bench_path = Path(__file__).resolve().parent.parent / "bench.py"
+        cmd = [sys.executable, str(bench_path)] + (
+            ["--quick"] if args.quick else []
+        )
         raise SystemExit(subprocess.call(cmd))
     args.fn(args)
 

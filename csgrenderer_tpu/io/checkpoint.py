@@ -26,21 +26,26 @@ class Accumulator(NamedTuple):
 
     radiance_sum: Array  # [H, W, 3] f32, linear
     sample_count: Array  # [] int32
-    rays_traced: Array  # [] int64-ish counter (f64-safe as int32 on CPU)
+    # Host-side Python int: the per-call kernel counters are int32 (fine for
+    # one call), but the running total passes 2^31 in under a minute of 4K
+    # progressive rendering at ~100 Mrays/s, so it must be arbitrary-
+    # precision. Reading it forces a sync, which add() accepts: the
+    # accumulator consumer reads the image each frame anyway.
+    rays_traced: int
 
     @staticmethod
     def zeros(height: int, width: int) -> "Accumulator":
         return Accumulator(
             radiance_sum=jnp.zeros((height, width, 3), jnp.float32),
             sample_count=jnp.zeros((), jnp.int32),
-            rays_traced=jnp.zeros((), jnp.int32),
+            rays_traced=0,
         )
 
-    def add(self, radiance: Array, samples: int, rays: Array) -> "Accumulator":
+    def add(self, radiance: Array, samples: int, rays) -> "Accumulator":
         return Accumulator(
             radiance_sum=self.radiance_sum + radiance,
             sample_count=self.sample_count + samples,
-            rays_traced=self.rays_traced + rays,
+            rays_traced=self.rays_traced + int(rays),
         )
 
     def image(self) -> Array:
@@ -56,7 +61,7 @@ def save(path, acc: Accumulator, **metadata) -> None:
         path,
         radiance_sum=np.asarray(acc.radiance_sum),
         sample_count=np.asarray(acc.sample_count),
-        rays_traced=np.asarray(acc.rays_traced),
+        rays_traced=np.asarray(acc.rays_traced, np.int64),
         **{f"meta_{k}": np.asarray(v) for k, v in metadata.items()},
     )
 
@@ -66,7 +71,7 @@ def load(path) -> tuple[Accumulator, dict]:
         acc = Accumulator(
             radiance_sum=jnp.asarray(z["radiance_sum"]),
             sample_count=jnp.asarray(z["sample_count"]),
-            rays_traced=jnp.asarray(z["rays_traced"]),
+            rays_traced=int(z["rays_traced"]),
         )
         meta = {
             k[len("meta_") :]: z[k] for k in z.files if k.startswith("meta_")

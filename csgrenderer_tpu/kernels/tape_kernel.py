@@ -356,8 +356,16 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix):
                     gx = p0 - jnp.abs(lx)
                     gy = p1 - jnp.abs(ly)
                     gz = p2 - jnp.abs(lz)
-                    score = jnp.minimum(jnp.abs(gx),
-                                        jnp.minimum(jnp.abs(gy), jnp.abs(gz)))
+                    # exact |SDF| to the finite surface (matches tape_eval):
+                    # overshoot q = -gap; outside/inside terms are exclusive
+                    mx = jnp.maximum(-gx, 0.0)
+                    my = jnp.maximum(-gy, 0.0)
+                    mz = jnp.maximum(-gz, 0.0)
+                    outside = jnp.sqrt(mx * mx + my * my + mz * mz)
+                    inside = jnp.minimum(
+                        jnp.maximum(-gx, jnp.maximum(-gy, -gz)), 0.0
+                    )
+                    score = outside - inside
                     # outward normal: axis with the smallest gap
                     is_x = (jnp.abs(gx) <= jnp.abs(gy)) & (jnp.abs(gx) <= jnp.abs(gz))
                     is_y = ~is_x & (jnp.abs(gy) <= jnp.abs(gz))
@@ -371,7 +379,16 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix):
                     srad = jnp.sqrt(lx * lx + lz * lz)
                     side = jnp.abs(srad - p0)
                     cap = jnp.abs(jnp.abs(ly) - p1)
-                    score = jnp.minimum(side, cap)
+                    # exact |SDF| in (radial, axial) coords (matches
+                    # tape_eval). NB: sq* names — qx/qy/qz above are the
+                    # leaf quaternion and must not be shadowed.
+                    sqr = srad - p0
+                    sqy = jnp.abs(ly) - p1
+                    mr = jnp.maximum(sqr, 0.0)
+                    mh = jnp.maximum(sqy, 0.0)
+                    outside = jnp.sqrt(mr * mr + mh * mh)
+                    inside = jnp.minimum(jnp.maximum(sqr, sqy), 0.0)
+                    score = outside - inside
                     inv = 1.0 / jnp.maximum(srad, jnp.float32(1e-12))
                     use_side = side < cap
                     nlx = jnp.where(use_side, lx * inv, 0.0)

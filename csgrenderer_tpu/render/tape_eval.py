@@ -80,16 +80,32 @@ def _leaf_surface_score_and_normal(tape: CompiledTape, leaf: int, p_world: Array
         n_local = intersect.halfspace_normal(p, n)
     elif t == NodeType.BOX:
         he = prm[:3]
-        d_faces = he - jnp.abs(p)  # >=0 inside each slab
-        score = jnp.min(jnp.abs(d_faces), axis=-1)
+        # exact unsigned distance to the FINITE box surface (|SDF|), not to
+        # the infinite face planes: a hit on another leaf near a box's
+        # extended face plane must not steal the argmin (ADVICE r1)
+        qv = jnp.abs(p) - he  # per-axis overshoot, <0 inside each slab
+        # manual sqrt-of-sum (not linalg.norm): bit-identical grouping with
+        # the Pallas kernel so owner ties at CSG seams resolve the same way
+        m = jnp.maximum(qv, 0.0)
+        outside = jnp.sqrt(
+            m[..., 0] * m[..., 0] + m[..., 1] * m[..., 1]
+            + m[..., 2] * m[..., 2]
+        )
+        inside = jnp.minimum(
+            jnp.maximum(qv[..., 0], jnp.maximum(qv[..., 1], qv[..., 2])), 0.0
+        )
+        score = outside - inside  # terms are mutually exclusive
         n_local = intersect.box_normal(p, he)
     elif t == NodeType.CYLINDER:
         r, h = prm[0], prm[1]
-        side = jnp.abs(
-            jnp.sqrt(p[..., 0] ** 2 + p[..., 2] ** 2) - r
+        # same |SDF| construction in (radial, axial) coordinates
+        qr = jnp.sqrt(p[..., 0] ** 2 + p[..., 2] ** 2) - r
+        qy = jnp.abs(p[..., 1]) - h
+        outside = jnp.sqrt(
+            jnp.maximum(qr, 0.0) ** 2 + jnp.maximum(qy, 0.0) ** 2
         )
-        cap = jnp.abs(jnp.abs(p[..., 1]) - h)
-        score = jnp.minimum(side, cap)
+        inside = jnp.minimum(jnp.maximum(qr, qy), 0.0)
+        score = outside - inside
         n_local = intersect.cylinder_normal(p, r, h)
     else:  # pragma: no cover
         raise ValueError(f"bad leaf type {t}")

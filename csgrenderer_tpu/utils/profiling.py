@@ -39,15 +39,29 @@ class Timing:
         return self.rays / self.run_sec / 1e6 if self.run_sec > 0 else 0.0
 
 
+def _fence(out, rays_index):
+    """Force completion with a host readback (NOT just block_until_ready:
+    under the axon TPU tunnel that can return before device work drains —
+    the project measurement rule). Returns the ray count if requested."""
+    leaves = jax.tree_util.tree_leaves(out)
+    if rays_index is not None:
+        return int(leaves[rays_index])
+    # no designated scalar: read back one element of the first leaf
+    # (scalar slice keeps the host transfer tiny)
+    first = leaves[0]
+    float(first[(0,) * first.ndim]) if first.ndim else float(first)
+    return 0
+
+
 def time_fn(fn, *args, calls: int = 3, rays_index: int | None = None) -> Timing:
     """Measure ``fn(*args)``: first call (compile+run) vs steady-state mean.
 
     ``rays_index``: index of a ray-count scalar in fn's output pytree leaves,
-    used for the Mrays metric.
+    used for the Mrays metric (and as the in-window completion fence).
     """
     t0 = time.perf_counter()
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fence(out, rays_index)
     compile_sec = time.perf_counter() - t0
 
     rays = 0
@@ -55,10 +69,9 @@ def time_fn(fn, *args, calls: int = 3, rays_index: int | None = None) -> Timing:
     for _ in range(calls):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        r = _fence(out, rays_index)
         times.append(time.perf_counter() - t0)
-        if rays_index is not None:
-            rays += int(jax.tree_util.tree_leaves(out)[rays_index])
+        rays += r
     return Timing(
         compile_sec=compile_sec,
         run_sec=sum(times) / len(times),

@@ -123,3 +123,18 @@ def test_app_aborts_without_renderer():
 def test_app_init_failure_aborts():
     app = App(init_cb=lambda *a: False, stats=StatsClock(emit=None))
     assert app.run(max_frames=1) is False
+
+
+def test_accumulator_ray_counter_survives_int32_overflow(tmp_path):
+    """rays_traced is a host-side Python int: per-call int32 kernel counters
+    are fine, but the running total passes 2^31 within a minute of 4K
+    progressive rendering (ADVICE r1)."""
+    acc = Accumulator.zeros(2, 2)
+    per_call = 2_000_000_000  # near int32 max, as an int32 device scalar
+    acc = acc.add(jnp.zeros((2, 2, 3)), samples=1, rays=jnp.int32(per_call))
+    acc = acc.add(jnp.zeros((2, 2, 3)), samples=1, rays=jnp.int32(per_call))
+    assert acc.rays_traced == 2 * per_call  # would wrap negative in int32
+    p = tmp_path / "acc.npz"
+    checkpoint.save(p, acc, note=1)
+    acc2, _ = checkpoint.load(p)
+    assert acc2.rays_traced == 2 * per_call

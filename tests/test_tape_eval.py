@@ -158,3 +158,47 @@ def test_batched_2d_ray_grid():
     h = tape_nearest_hit(tape, o, d)
     assert h.t.shape == (4, 8)
     np.testing.assert_allclose(h.t, 4.0, atol=1e-4)
+
+
+def test_box_face_plane_does_not_steal_attribution():
+    """A hit point on another leaf that lies in a box's EXTENDED face plane
+    must not win the surface-attribution argmin (ADVICE r1: scores are
+    distances to the finite surface, |SDF|, not to infinite face planes)."""
+    g = SceneGraph()
+    # box FIRST so an erroneous score tie would resolve to the box
+    box = g.add_box_node(
+        (1.0, 1.0, 1.0), material=Material.lambertian((1.0, 0.0, 0.0))
+    )
+    sph = g.add_sphere_node(1.0, material=Material.metal((0.0, 1.0, 0.0)))
+    # box far away on +x; its y=+1 face plane extends through the sphere's
+    # north pole (0, 1, 0)
+    g.add_union_of_node(
+        NodeArgument(box, offset=(5.0, 0.0, 0.0)), NodeArgument(sph)
+    )
+    tape = g.compile()
+    o, d = ray([0, 3, 0], [0, -1, 0])  # hits the sphere at (0, 1, 0)
+    h = tape_nearest_hit(tape, o, d)
+    assert bool(h.hit[0])
+    np.testing.assert_allclose(h.t[0], 2.0, atol=1e-4)
+    np.testing.assert_allclose(h.normal[0], [0, 1, 0], atol=1e-4)
+    assert int(h.mat_kind[0]) == 2  # the sphere's metal, not the box's
+    np.testing.assert_allclose(h.albedo[0], [0, 1, 0], atol=1e-6)
+
+
+def test_cylinder_cap_plane_does_not_steal_attribution():
+    """Same for a cylinder's cap plane extended beyond its radius."""
+    g = SceneGraph()
+    cyl = g.add_cylinder_node(
+        0.5, 1.0, material=Material.lambertian((1.0, 0.0, 0.0))
+    )
+    sph = g.add_sphere_node(1.0, material=Material.metal((0.0, 1.0, 0.0)))
+    # cylinder far on +x: its y=+1 cap plane passes through (0, 1, 0)
+    g.add_union_of_node(
+        NodeArgument(cyl, offset=(5.0, 0.0, 0.0)), NodeArgument(sph)
+    )
+    tape = g.compile()
+    o, d = ray([0, 3, 0], [0, -1, 0])
+    h = tape_nearest_hit(tape, o, d)
+    assert bool(h.hit[0])
+    assert int(h.mat_kind[0]) == 2
+    np.testing.assert_allclose(h.normal[0], [0, 1, 0], atol=1e-4)

@@ -81,3 +81,21 @@ def test_black_sky_mode():
     img = compare(tape, cam, 32, 32, spp=1, bounces=2, seed=1, sky="black")
     assert img[0, 0].max() == 0.0  # corner: no sky, no sphere
     assert img[16, 16].max() > 1.0  # center: emissive
+
+
+def test_normal_map_attribution_matches_reference():
+    """Direct owner/normal comparison: normal-map materials make bounce-1
+    radiance = the attribution normal itself, so any owner or normal
+    divergence between kernel and jnp is visible immediately (lambertian
+    scenes hide it behind RNG until bounce 2)."""
+    g = SceneGraph(max_node_count=16)
+    s = g.add_sphere_node(1.0, Material.normal_map())
+    b = g.add_box_node((0.8, 0.8, 0.8), Material.normal_map())
+    c = g.add_cylinder_node(0.55, 1.6, Material.normal_map())
+    u = g.add_union_of_node(
+        NodeArgument(s, offset=(-0.3, 0, 0)), NodeArgument(b, offset=(0.5, 0, 0))
+    )
+    g.add_difference_of_node(NodeArgument(u), NodeArgument(c))
+    tape = g.compile(k=2)
+    cam = Camera.look_at((3, 2.5, 4), (0.1, 0, 0), vfov_degrees=35, aspect_ratio=1.0)
+    compare(tape, cam, 48, 48, spp=1, bounces=1, seed=3)
