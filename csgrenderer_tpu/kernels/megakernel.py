@@ -67,16 +67,28 @@ from .common import (
     scatter_planes,
     sky_planes,
 )
+from .worklist import emit_grid_walk, pack_grid
 
 
-def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix):
-    """Build the kernel body with static config baked in."""
+def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
+                 grid_static=None):
+    """Build the kernel body with static config baked in.
+
+    ``grid_static``: a worklist.GridStatic — when set, ``cols_ref`` holds
+    only the GLOBAL spheres (brute-forced every wave) and the kernel takes
+    an extra ``grid_ref`` worklist table; the nearest-hit is refined by the
+    per-lane grid DDA (kernels/worklist.py), which is where the post-
+    roofline throughput comes from.
+    """
 
     inv_w = np.float32(1.0 / width)
     inv_h = np.float32(1.0 / height)
 
-    def kernel(cam_ref, meta_ref, cols_ref, attr_ref,
-               out_r_ref, out_g_ref, out_b_ref, rays_ref):
+    def kernel(cam_ref, meta_ref, cols_ref, attr_ref, *rest):
+        if grid_static is not None:
+            (grid_ref, out_r_ref, out_g_ref, out_b_ref, rays_ref) = rest
+        else:
+            (out_r_ref, out_g_ref, out_b_ref, rays_ref) = rest
         tile_idx = pl.program_id(0)
         seed = meta_ref[0, 0]
         sample_offset = meta_ref[0, 1]
@@ -99,11 +111,13 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix):
 
         attr = attr_ref[:]  # [16, s_pad]
         sphere_iota = jax.lax.broadcasted_iota(jnp.int32, (s_pad, TILE_LANES), 0)
-        # Per-sphere constants broadcast to [s_pad, 128] ONCE per tile; the
+        # Per-sphere constants broadcast to [rows, 128] ONCE per tile; the
         # per-(ray, sphere) cross terms are then pure f32 VPU broadcast math.
         # (The earlier [S,4]@[4,128] MXU formulation needed 6-pass f32
         # matmuls for precision — slower than the VPU and serialized with it.)
-        shape = (s_pad, TILE_LANES)
+        # rows = all spheres brute-forced here: the full scene normally, only
+        # the globals when the grid worklists handle the rest.
+        shape = (cols_ref.shape[0], TILE_LANES)
         cxb = jnp.broadcast_to(cols_ref[:, 0:1], shape)
         cyb = jnp.broadcast_to(cols_ref[:, 1:2], shape)
         czb = jnp.broadcast_to(cols_ref[:, 2:3], shape)
@@ -112,8 +126,80 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix):
         c2yb = jnp.broadcast_to(cols_ref[:, 5:6], shape)
         c2zb = jnp.broadcast_to(cols_ref[:, 6:7], shape)
 
+        def _gather_attrs(id_pl):
+            """One-hot attr fetch by per-ray (f32-encoded) sphere id planes."""
+            attr_rows = []
+            for g in range(TILE_ROWS):
+                onehot = (
+                    sphere_iota.astype(jnp.float32) == id_pl[g : g + 1]
+                ).astype(jnp.float32)
+                got = jnp.dot(attr, onehot, preferred_element_type=jnp.float32)
+                attr_rows.append(got)  # [16,128]
+            return attr_rows
+
+        def _unpack_attr_rows(attr_rows):
+            raw = [
+                jnp.concatenate([ar[j:j+1] for ar in attr_rows], axis=0)
+                for j in range(12)
+            ]  # c_hi(3), c_lo(3), inv_r, kind, param, albedo(3)
+            return [
+                raw[0] + raw[3],  # cx
+                raw[1] + raw[4],  # cy
+                raw[2] + raw[5],  # cz
+                raw[6], raw[7], raw[8], raw[9], raw[10], raw[11],
+            ]  # cx, cy, cz, inv_r, kind, param, alb_r, alb_g, alb_b
+
+        def intersect_tile_grid(ox, oy, oz, dx, dy, dz):
+            """Globals brute force + per-lane grid DDA, then attr gather."""
+            od = _dot3(ox, oy, oz, dx, dy, dz)
+            oo = _dot3(ox, oy, oz, ox, oy, oz)
+            a = _dot3(dx, dy, dz, dx, dy, dz)
+            inv_a = 1.0 / a
+            eps_a = jnp.float32(1e-3) * a
+            g_pad = cols_ref.shape[0]  # globals only in this mode
+            giota = jax.lax.broadcasted_iota(
+                jnp.int32, (g_pad, TILE_LANES), 0
+            )
+
+            t_rows = []
+            id_rows = []
+            for g in range(TILE_ROWS):
+                dxr, dyr, dzr = dx[g:g+1], dy[g:g+1], dz[g:g+1]
+                oxr, oyr, ozr = ox[g:g+1], oy[g:g+1], oz[g:g+1]
+                c_dot_d = cxb * dxr + cyb * dyr + czb * dzr
+                c2_dot_o = c2xb * oxr + c2yb * oyr + c2zb * ozr
+                half_b = od[g:g+1] - c_dot_d
+                cterm = oo[g:g+1] - c2_dot_o + ccr2b
+                a_row = a[g:g+1]
+                disc = half_b * half_b - a_row * cterm
+                sq = jnp.sqrt(disc)  # NaN -> miss via comparison routing
+                ta0 = -half_b - sq
+                ta1 = -half_b + sq
+                eps_row = eps_a[g:g+1]
+                ta = jnp.where(ta0 > eps_row, ta0, ta1)
+                ta = jnp.where(ta > eps_row, ta, BIG)
+                ta_best = jnp.min(ta, axis=0, keepdims=True)
+                t_best = jnp.where(
+                    ta_best < BIG_CUT, ta_best * inv_a[g:g+1], BIG
+                )
+                cand = jnp.where(ta == ta_best, giota, jnp.int32(s_pad))
+                sel = jnp.min(cand, axis=0, keepdims=True)
+                t_rows.append(t_best)
+                id_rows.append(sel.astype(jnp.float32))
+
+            t_pl = jnp.concatenate(t_rows, axis=0)  # [8,128]
+            id_pl = jnp.concatenate(id_rows, axis=0)
+            t_pl, id_pl = emit_grid_walk(
+                grid_static, grid_ref[:], (ox, oy, oz), (dx, dy, dz),
+                a, inv_a, eps_a, t_pl, id_pl,
+            )
+            attrs = _unpack_attr_rows(_gather_attrs(id_pl))
+            return t_pl, attrs
+
         def intersect_tile(ox, oy, oz, dx, dy, dz):
             """Nearest hit for the whole tile. Returns planes."""
+            if grid_static is not None:
+                return intersect_tile_grid(ox, oy, oz, dx, dy, dz)
             od = _dot3(ox, oy, oz, dx, dy, dz)
             oo = _dot3(ox, oy, oz, ox, oy, oz)
             a = _dot3(dx, dy, dz, dx, dy, dz)
@@ -158,17 +244,7 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix):
                 attr_rows.append(got)  # [16,128]
 
             t_pl = jnp.concatenate(t_rows, axis=0)  # [8,128]
-            raw = [
-                jnp.concatenate([ar[j:j+1] for ar in attr_rows], axis=0)
-                for j in range(12)
-            ]  # c_hi(3), c_lo(3), inv_r, kind, param, albedo(3)
-            attrs = [
-                raw[0] + raw[3],  # cx
-                raw[1] + raw[4],  # cy
-                raw[2] + raw[5],  # cz
-                raw[6], raw[7], raw[8], raw[9], raw[10], raw[11],
-            ]  # cx, cy, cz, inv_r, kind, param, alb_r, alb_g, alb_b
-            return t_pl, attrs
+            return t_pl, _unpack_attr_rows(attr_rows)
 
         def bounce_step(b, state, s):
             (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
@@ -334,7 +410,7 @@ class _PackedScene(NamedTuple):
     attr: jax.Array  # [16, s_pad] f32: c_hi(3), c_lo(3), inv_r, kind, param, albedo(3)
 
 
-def pack_scene(scene: SphereScene) -> _PackedScene:
+def pack_scene(scene: SphereScene, n_brute: int | None = None) -> _PackedScene:
     """Precompute the kernel's sphere tables (host-side, once per scene).
 
     ``cols`` feeds the VPU cross-term broadcasts. ``attr`` is the one-hot
@@ -342,6 +418,10 @@ def pack_scene(scene: SphereScene) -> _PackedScene:
     remainder so the gather can use the MXU's fast single bf16 pass without
     losing world-space precision (bf16(c_lo) error ~ 0.4% of an already-small
     remainder).
+
+    ``n_brute``: number of leading spheres to include in the brute-force
+    ``cols`` table (the "globals" when a grid worklist covers the rest);
+    ``attr`` always covers the whole scene.
     """
     c = np.asarray(scene.centers, np.float32)
     r = np.asarray(scene.radii, np.float32)
@@ -350,14 +430,16 @@ def pack_scene(scene: SphereScene) -> _PackedScene:
     prm = np.asarray(scene.mat_param, np.float32)
     s = c.shape[0]
     s_pad = max(8, int(np.ceil(s / 8)) * 8)
+    nb = s if n_brute is None else n_brute
+    nb_pad = max(8, int(np.ceil(nb / 8)) * 8)
 
-    cols = np.zeros((s_pad, 8), np.float32)
+    cols = np.zeros((nb_pad, 8), np.float32)
     attr = np.zeros((16, s_pad), np.float32)
-    cols[:s, 0:3] = c
-    cols[:s, 3] = np.sum(c * c, axis=1) - r * r
-    cols[:s, 4:7] = 2.0 * c  # pre-scaled for the c-term dot (saves a mul)
+    cols[:nb, 0:3] = c[:nb]
+    cols[:nb, 3] = np.sum(c[:nb] * c[:nb], axis=1) - r[:nb] * r[:nb]
+    cols[:nb, 4:7] = 2.0 * c[:nb]  # pre-scaled for the c-term dot
     # padding spheres: huge positive c-term constant => disc < 0 always
-    cols[s:, 3] = 1e30
+    cols[nb:, 3] = 1e30
 
     import ml_dtypes
 
@@ -388,7 +470,7 @@ def pack_camera(camera: Camera) -> jax.Array:
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "max_bounces", "lens", "sky", "interpret",
-        "rows",
+        "rows", "grid_static",
     ),
 )
 def _render_packed(
@@ -405,6 +487,8 @@ def _render_packed(
     interpret: bool,
     rows: int,
     row_offset,
+    grid_static=None,
+    grid_table=None,
 ):
     n_pix = width * rows  # this slab's pixel count (rows == height unsharded)
     n_tiles = pl.cdiv(n_pix, TILE)
@@ -413,9 +497,10 @@ def _render_packed(
     meta = meta.at[0, 1].set(jnp.asarray(sample_offset, jnp.int32))
     meta = meta.at[0, 2].set(jnp.asarray(row_offset, jnp.int32) * width)
 
-    s_pad = packed.cols.shape[0]  # static via the array shape
+    s_pad = packed.attr.shape[1]  # static via the array shape
     kernel = _make_kernel(
-        width, height, spp, max_bounces, lens, sky, s_pad, n_pix
+        width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
+        grid_static=grid_static,
     )
     out_shape = (
         jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, TILE_LANES), jnp.float32),
@@ -426,15 +511,20 @@ def _render_packed(
     plane_spec = pl.BlockSpec(
         (TILE_ROWS, TILE_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # cam row
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # cols
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # attr
+    ]
+    inputs = [cam_row, meta, packed.cols, packed.attr]
+    if grid_static is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # worklists
+        inputs.append(grid_table)
     r, g, b, rays = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # cam row
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # cols
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # attr
-        ],
+        in_specs=in_specs,
         out_specs=(
             plane_spec,
             plane_spec,
@@ -446,7 +536,7 @@ def _render_packed(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(cam_row, meta, packed.cols, packed.attr)
+    )(*inputs)
 
     flat = jnp.stack(
         [r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1
@@ -470,6 +560,7 @@ def render_image_pallas(
     interpret: bool = False,
     rows: int | None = None,
     row_offset=0,
+    worklist: bool | str = "auto",
 ):
     """Drop-in for ``integrator.render_image`` on SphereScene.
 
@@ -478,10 +569,28 @@ def render_image_pallas(
     ``rows``/``row_offset`` render a full-width horizontal slab of the
     ``width x height`` image (the sharding primitive; RNG and camera stay
     functions of global pixel coordinates, mirroring integrator.render_tile).
+
+    ``worklist``: "auto" builds per-cell grid worklists when the scene shape
+    profits (many small slab-confined spheres — kernels/worklist.py); True
+    forces the attempt, False forces pure brute force.
     """
     if not jitter:
         raise NotImplementedError("megakernel always jitters (spp>=1)")
-    packed = pack_scene(scene)
+    grid_static = None
+    grid_table = None
+    if worklist in (True, "auto"):
+        packed_grid = pack_grid(scene)
+        if packed_grid is not None:
+            pack, scene = packed_grid  # scene reordered: globals first
+            grid_static = pack.static
+            grid_table = pack.table
+            packed = pack_scene(scene, n_brute=pack.n_globals)
+        elif worklist is True:
+            raise ValueError("worklist=True but the scene is not griddable")
+        else:
+            packed = pack_scene(scene)
+    else:
+        packed = pack_scene(scene)
     cam_row = pack_camera(camera)
     return _render_packed(
         packed, cam_row, width, height, spp, max_bounces,
@@ -489,4 +598,6 @@ def render_image_pallas(
         lens, sky, interpret,
         height if rows is None else rows,
         jnp.asarray(row_offset, jnp.int32),
+        grid_static=grid_static,
+        grid_table=grid_table,
     )

@@ -1,0 +1,401 @@
+"""Per-cell sphere worklists for the megakernel: grid packer + in-kernel DDA.
+
+The round-1 brute-force megakernel is AT the VPU roofline (doc/PERF_NOTES):
+every wave tests all S spheres against all 1024 rays. The reference point is
+the per-pixel loop over the whole scene in the fragment shader
+(/root/reference/src/wololo/renderer/ubershader1.frag:84-95) — to go past
+the roofline the per-ray candidate set must shrink algorithmically.
+
+The classic GPU answer (and doc/ROADMAP's round-1 sketch) is wavefront
+binning: SORT rays into spatially coherent bins, then intersect each bin
+against a per-bin worklist. The worked cost model put the Pallas binning
+kernel at 12-25 cycles/record — ~0.5-1.2 s/frame of pure data movement.
+
+This module takes the opposite, TPU-native route: move the WORKLISTS to the
+rays instead of the rays to the worklists. Each lane gathers its own cell's
+sphere list with a one-hot MXU matmul (the TPU's indexed load; the attribute
+gather in megakernel.py already demonstrated it overlaps with VPU work), so
+no coherence — and therefore no sorting — is needed at all:
+
+- Host packer (``pack_grid``): small spheres confined to a thin y-slab are
+  binned into a Cx x Cz grid over xz (circle-rectangle overlap, so every
+  cell lists EVERY sphere whose surface can appear inside it). Oversized /
+  outlier spheres stay "global" and keep the brute-force path (ground +
+  hero spheres in the RTIOW scene). Cells that overflow the M slots spill
+  their widest spheres to globals — correct, just slower.
+- Kernel fragment (``emit_grid_walk``): per-lane 2D DDA over the grid.
+  Each step: cell one-hot [C,128] -> MXU gather of the cell's M-slot table
+  [5M, C] @ [C, 128] -> [5M, 128] whose aligned [8,128] row-blocks are the
+  slot-major cx/cy/cz/r2/id planes -> one vectorized 8-slot quadratic per
+  row group. Lanes stop when their best hit precedes the next cell
+  (cells are visited in increasing ray-t, so this is exact), when they
+  leave the grid/slab, or when they pass the globals' best hit.
+
+Correctness argument for the early exit: a sphere's every surface point
+lies in some cell of the grid (the grid bbox is inflated by each sphere's
+radius), and that cell lists the sphere; the DDA visits cells in increasing
+t, so any hit with t before the current cell's entry was already found in
+an earlier cell. Padding cells/slots carry r2 = -1e30, which drives the
+discriminant negative and routes to a miss through the kernel's
+NaN-comparison convention.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .common import BIG, BIG_CUT, TILE_LANES, TILE_ROWS
+
+PAD_R2 = np.float32(-1e30)
+
+
+class GridStatic(NamedTuple):
+    """Hashable static grid config baked into the kernel at trace time."""
+
+    cx: int  # cells along x
+    cz: int  # cells along z
+    c_pad: int  # padded cell-table width (multiple of 128); last col = pad
+    m: int  # worklist slots per cell (multiple of 8)
+    x0: float
+    z0: float
+    cell: float  # cell edge length (square cells)
+    y_lo: float
+    y_hi: float
+
+
+class GridPack(NamedTuple):
+    static: GridStatic
+    table: np.ndarray  # [5*m, c_pad] f32: cx | cy | cz | r2 | global id
+    order: np.ndarray  # permutation: new index -> original sphere index
+    n_globals: int  # globals occupy reordered indices [0, n_globals)
+
+
+def _overlap_counts(cgrid, rgrid, x0, z0, cell, ncx, ncz):
+    """Per-cell candidate lists via circle-rectangle overlap (numpy)."""
+    lists: list[list[int]] = [[] for _ in range(ncx * ncz)]
+    for i in range(cgrid.shape[0]):
+        cx_, cz_, r = cgrid[i, 0], cgrid[i, 2], rgrid[i]
+        ix0 = max(0, int(np.floor((cx_ - r - x0) / cell)))
+        ix1 = min(ncx - 1, int(np.floor((cx_ + r - x0) / cell)))
+        iz0 = max(0, int(np.floor((cz_ - r - z0) / cell)))
+        iz1 = min(ncz - 1, int(np.floor((cz_ + r - z0) / cell)))
+        for ix in range(ix0, ix1 + 1):
+            # nearest point of the cell's x-range to the center
+            nx = np.clip(cx_, x0 + ix * cell, x0 + (ix + 1) * cell)
+            for iz in range(iz0, iz1 + 1):
+                nz = np.clip(cz_, z0 + iz * cell, z0 + (iz + 1) * cell)
+                if (nx - cx_) ** 2 + (nz - cz_) ** 2 <= r * r + 1e-12:
+                    lists[ix * ncz + iz].append(i)
+    return lists
+
+
+_PACK_CACHE: dict = {}
+
+
+def pack_grid(
+    scene,
+    m: int = 8,
+    max_cells: int = 32 * 32,
+    min_grid_spheres: int = 48,
+    radius_factor: float = 4.0,
+):
+    """Build a GridPack for a SphereScene, or None if a grid won't help.
+
+    Returns (pack, reordered_scene). Small spheres (radius <= radius_factor
+    x median radius) that fit a thin y-slab go into the grid; everything
+    else stays global. The reordered scene puts globals first so the brute
+    pass's sphere indices are already global attribute-table indices.
+
+    Results are memoized on the scene's array identities: the packer is
+    host-side numpy and a progressive renderer calls it every frame with
+    the same immutable scene.
+    """
+    from ..render.integrator import SphereScene
+
+    key = (id(scene.centers), id(scene.radii), m, max_cells)
+    cached = _PACK_CACHE.get(key)
+    if cached is not None and cached[0] is scene.centers:
+        return cached[1]
+
+    def _memo(result):
+        if len(_PACK_CACHE) > 32:
+            _PACK_CACHE.clear()
+        _PACK_CACHE[key] = (scene.centers, result)
+        return result
+
+    c = np.asarray(scene.centers, np.float64)
+    r = np.asarray(scene.radii, np.float64)
+    s = c.shape[0]
+    if s < min_grid_spheres:
+        return _memo(None)
+
+    med = float(np.median(r))
+    small = r <= radius_factor * med
+    if int(small.sum()) < min_grid_spheres:
+        return _memo(None)
+
+    # the slab must be thin relative to the xz extent, else a 2D grid is the
+    # wrong spatial structure for this scene
+    y_lo = float(np.min(c[small, 1] - r[small]))
+    y_hi = float(np.max(c[small, 1] + r[small]))
+    ex_x = float(np.max(c[small, 0] + r[small]) - np.min(c[small, 0] - r[small]))
+    ex_z = float(np.max(c[small, 2] + r[small]) - np.min(c[small, 2] - r[small]))
+    if (y_hi - y_lo) > 0.5 * max(ex_x, ex_z):
+        return _memo(None)
+
+    x0 = float(np.min(c[small, 0] - r[small]))
+    x1 = float(np.max(c[small, 0] + r[small]))
+    z0 = float(np.min(c[small, 2] - r[small]))
+    z1 = float(np.max(c[small, 2] + r[small]))
+
+    idx_small = np.where(small)[0]
+    cgrid = c[idx_small]
+    rgrid = r[idx_small]
+
+    # choose the LARGEST cell (fewest cells -> cheapest one-hot) whose worst
+    # cell still fits m slots; spill overfull cells' widest spheres to
+    # globals if even the densest grid can't fit
+    best = None
+    target = max(ex_x, ex_z)
+    for n_side in (8, 12, 16, 20, 24, 28, 32):
+        cell = target / n_side + 1e-9
+        ncx = max(1, int(np.ceil((x1 - x0) / cell)))
+        ncz = max(1, int(np.ceil((z1 - z0) / cell)))
+        if ncx * ncz > max_cells:
+            break
+        lists = _overlap_counts(cgrid, rgrid, x0, z0, cell, ncx, ncz)
+        worst = max((len(l) for l in lists), default=0)
+        if worst <= m:
+            best = (cell, ncx, ncz, lists, [])
+            break
+        best_candidate = (cell, ncx, ncz, lists)
+    if best is None:
+        # densest grid still overflows: spill widest spheres of overfull
+        # cells until everything fits
+        cell, ncx, ncz, lists = best_candidate
+        spilled: set[int] = set()
+        changed = True
+        while changed:
+            changed = False
+            for li, l in enumerate(lists):
+                live = [i for i in l if i not in spilled]
+                if len(live) > m:
+                    live_sorted = sorted(live, key=lambda i: -rgrid[i])
+                    for i in live_sorted[: len(live) - m]:
+                        spilled.add(i)
+                    changed = True
+        lists = [[i for i in l if i not in spilled] for l in lists]
+        best = (cell, ncx, ncz, lists, sorted(spilled))
+        if len(spilled) > 0.25 * len(idx_small):
+            return _memo(None)
+
+    cell, ncx, ncz, lists, spilled_local = best
+    spilled_set = set(spilled_local)
+    grid_local = [i for i in range(len(idx_small)) if i not in spilled_set]
+    grid_orig = idx_small[grid_local]
+    global_orig = np.setdiff1d(np.arange(s), grid_orig)
+
+    order = np.concatenate([global_orig, grid_orig])
+    inv = np.empty(s, np.int64)
+    inv[order] = np.arange(s)
+
+    n_globals = len(global_orig)
+    c_cells = ncx * ncz
+    c_pad = int(np.ceil((c_cells + 1) / 128.0)) * 128  # +1 pad column
+
+    table = np.zeros((5 * m, c_pad), np.float32)
+    table[3 * m : 4 * m, :] = PAD_R2
+    for cell_i, l in enumerate(lists):
+        live = [i for i in l if i not in spilled_set]
+        assert len(live) <= m
+        for slot, i in enumerate(live):
+            gi = float(inv[idx_small[i]])  # reordered global sphere index
+            table[slot, cell_i] = cgrid[i, 0]
+            table[m + slot, cell_i] = cgrid[i, 1]
+            table[2 * m + slot, cell_i] = cgrid[i, 2]
+            table[3 * m + slot, cell_i] = rgrid[i] * rgrid[i]
+            table[4 * m + slot, cell_i] = gi
+
+    # NUMPY arrays on purpose: inside a jit trace jnp.asarray(numpy)
+    # returns a tracer (jax >= 0.5-ish), which would poison the host-side
+    # pack_scene downstream. The jit boundary of _render_packed converts.
+    reordered = SphereScene(
+        centers=np.asarray(scene.centers)[order],
+        radii=np.asarray(scene.radii)[order],
+        mat_kind=np.asarray(scene.mat_kind)[order],
+        albedo=np.asarray(scene.albedo)[order],
+        mat_param=np.asarray(scene.mat_param)[order],
+    )
+    static = GridStatic(
+        cx=ncx,
+        cz=ncz,
+        c_pad=c_pad,
+        m=m,
+        x0=x0,
+        z0=z0,
+        cell=float(cell),
+        y_lo=y_lo,
+        y_hi=y_hi,
+    )
+    pack = GridPack(
+        static=static,
+        table=table,  # numpy: converted at the jit boundary
+        order=order,
+        n_globals=n_globals,
+    )
+    return _memo((pack, reordered))
+
+
+def emit_grid_walk(gs: GridStatic, tab, o, d, a, inv_a, eps_a, t_best0, id_best0):
+    """Trace-time builder: refine (t_best, id_best) with the grid worklists.
+
+    All arguments are [8,128] planes except ``tab`` (the [5m, c_pad] VMEM
+    table value) and ``gs`` (static). Returns (t_best, id_best) planes.
+    Runs INSIDE the Pallas kernel at trace time.
+    """
+    ox, oy, oz = o
+    dx, dy, dz = d
+    m = gs.m
+    eps_y = np.float32(1e-12)
+    big = BIG
+    pad_cell = np.int32(gs.c_pad - 1)
+    inv_cell = np.float32(1.0 / gs.cell)
+
+    # --- t-interval of the ray inside slab x grid bbox --------------------
+    def axis_range(o_c, d_c, lo, hi):
+        inv = 1.0 / d_c
+        t0 = (np.float32(lo) - o_c) * inv
+        t1 = (np.float32(hi) - o_c) * inv
+        lo_t = jnp.minimum(t0, t1)
+        hi_t = jnp.maximum(t0, t1)
+        # |d| ~ 0: inside -> (-BIG, BIG), outside -> empty
+        flat = jnp.abs(d_c) < eps_y
+        inside = (o_c >= np.float32(lo)) & (o_c <= np.float32(hi))
+        lo_t = jnp.where(flat, jnp.where(inside, -big, big), lo_t)
+        hi_t = jnp.where(flat, jnp.where(inside, big, -big), hi_t)
+        return lo_t, hi_t
+
+    x1 = gs.x0 + gs.cx * gs.cell
+    z1 = gs.z0 + gs.cz * gs.cell
+    tx_lo, tx_hi = axis_range(ox, dx, gs.x0, x1)
+    ty_lo, ty_hi = axis_range(oy, dy, gs.y_lo, gs.y_hi)
+    tz_lo, tz_hi = axis_range(oz, dz, gs.z0, z1)
+    t_in = jnp.maximum(
+        jnp.maximum(tx_lo, ty_lo), jnp.maximum(tz_lo, np.float32(1e-3))
+    )
+    t_out = jnp.minimum(jnp.minimum(tx_hi, ty_hi), tz_hi)
+    t_out = jnp.minimum(t_out, t_best0)  # beyond the globals' best: useless
+
+    active0 = (t_in <= t_out).astype(jnp.int32)
+
+    # --- DDA state ---------------------------------------------------------
+    px = ox + t_in * dx
+    pz = oz + t_in * dz
+    ix0 = jnp.clip(
+        jnp.floor((px - np.float32(gs.x0)) * inv_cell).astype(jnp.int32),
+        0, gs.cx - 1,
+    )
+    iz0 = jnp.clip(
+        jnp.floor((pz - np.float32(gs.z0)) * inv_cell).astype(jnp.int32),
+        0, gs.cz - 1,
+    )
+    step_x = jnp.where(dx > 0, 1, jnp.where(dx < 0, -1, 0)).astype(jnp.int32)
+    step_z = jnp.where(dz > 0, 1, jnp.where(dz < 0, -1, 0)).astype(jnp.int32)
+    inv_dx = 1.0 / dx  # +-inf on zero is fine: masked below
+    inv_dz = 1.0 / dz
+    flat_x = jnp.abs(dx) < eps_y
+    flat_z = jnp.abs(dz) < eps_y
+    # t at the first x/z cell boundary ahead of t_in
+    next_bx = np.float32(gs.x0) + (
+        ix0 + jnp.where(step_x > 0, 1, 0)
+    ).astype(jnp.float32) * np.float32(gs.cell)
+    next_bz = np.float32(gs.z0) + (
+        iz0 + jnp.where(step_z > 0, 1, 0)
+    ).astype(jnp.float32) * np.float32(gs.cell)
+    tmaxx0 = jnp.where(flat_x, big, (next_bx - ox) * inv_dx)
+    tmaxz0 = jnp.where(flat_z, big, (next_bz - oz) * inv_dz)
+    tdx = jnp.where(flat_x, big, jnp.abs(np.float32(gs.cell) * inv_dx))
+    tdz = jnp.where(flat_z, big, jnp.abs(np.float32(gs.cell) * inv_dz))
+
+    cell_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (gs.c_pad, TILE_LANES), 0
+    )
+
+    def cond(st):
+        return jnp.max(st["active"]) > 0
+
+    def body(st):
+        ix, iz = st["ix"], st["iz"]
+        act = st["active"] > 0
+        cell_id = jnp.where(act, ix * gs.cz + iz, pad_cell)  # [8,128] int32
+        t_best, id_best = st["t"], st["id"]
+
+        t_rows = []
+        id_rows = []
+        for g in range(TILE_ROWS):
+            onehot = (cell_iota == cell_id[g : g + 1]).astype(jnp.float32)
+            got = jax.lax.dot_general(
+                tab, onehot,
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,  # TIMING EXPERIMENT
+                preferred_element_type=jnp.float32,
+            )  # [5m, 128]
+            cxs = got[0 * m : 1 * m]  # [m, 128] slot-major
+            cys = got[1 * m : 2 * m]
+            czs = got[2 * m : 3 * m]
+            r2s = got[3 * m : 4 * m]
+            ids = got[4 * m : 5 * m]
+
+            ocx = ox[g : g + 1] - cxs
+            ocy = oy[g : g + 1] - cys
+            ocz = oz[g : g + 1] - czs
+            half_b = ocx * dx[g : g + 1] + ocy * dy[g : g + 1] + ocz * dz[g : g + 1]
+            cterm = ocx * ocx + ocy * ocy + ocz * ocz - r2s
+            disc = half_b * half_b - a[g : g + 1] * cterm
+            sq = jnp.sqrt(disc)  # NaN on miss: comparisons reject it
+            ta0 = -half_b - sq
+            ta1 = -half_b + sq
+            eps_row = eps_a[g : g + 1]
+            ta = jnp.where(ta0 > eps_row, ta0, ta1)
+            tc = jnp.where(ta > eps_row, ta * inv_a[g : g + 1], big)
+            tc_min = jnp.min(tc, axis=0, keepdims=True)  # [1,128]
+            winner = jnp.where(tc == tc_min, ids, big)
+            id_min = jnp.min(winner, axis=0, keepdims=True)
+            t_rows.append(tc_min)
+            id_rows.append(id_min)
+
+        t_cand = jnp.concatenate(t_rows, axis=0)  # [8,128]
+        id_cand = jnp.concatenate(id_rows, axis=0)
+        improve = act & (t_cand < t_best)
+        t_best = jnp.where(improve, t_cand, t_best)
+        id_best = jnp.where(improve, id_cand, id_best)
+
+        # --- advance -------------------------------------------------------
+        tmaxx, tmaxz = st["tmaxx"], st["tmaxz"]
+        t_next = jnp.minimum(tmaxx, tmaxz)
+        go_x = tmaxx <= tmaxz
+        ix = ix + jnp.where(go_x, step_x, 0)
+        iz = iz + jnp.where(go_x, 0, step_z)
+        tmaxx = jnp.where(go_x, tmaxx + tdx, tmaxx)
+        tmaxz = jnp.where(go_x, tmaxz, tmaxz + tdz)
+        in_grid = (ix >= 0) & (ix < gs.cx) & (iz >= 0) & (iz < gs.cz)
+        still = act & in_grid & (t_next <= t_out) & (t_next < t_best)
+        return dict(
+            active=still.astype(jnp.int32),
+            ix=ix, iz=iz, tmaxx=tmaxx, tmaxz=tmaxz,
+            t=t_best, id=id_best,
+        )
+
+    st = jax.lax.while_loop(
+        cond,
+        body,
+        dict(
+            active=active0, ix=ix0, iz=iz0, tmaxx=tmaxx0, tmaxz=tmaxz0,
+            t=t_best0, id=id_best0,
+        ),
+    )
+    return st["t"], st["id"]
