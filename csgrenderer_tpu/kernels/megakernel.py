@@ -67,7 +67,7 @@ from .common import (
     scatter_planes,
     sky_planes,
 )
-from .worklist import emit_grid_walk, pack_grid
+from .worklist import grid_setup, grid_step, pack_grid
 
 
 def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
@@ -149,14 +149,13 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
                 raw[6], raw[7], raw[8], raw[9], raw[10], raw[11],
             ]  # cx, cy, cz, inv_r, kind, param, alb_r, alb_g, alb_b
 
-        def intersect_tile_grid(ox, oy, oz, dx, dy, dz):
-            """Globals brute force + per-lane grid DDA, then attr gather."""
+        def brute_globals(ox, oy, oz, dx, dy, dz, a, inv_a, eps_a):
+            """(t, id) planes: nearest hit over the brute-force (global)
+            sphere table — the full scene normally, the few non-grid spheres
+            in worklist mode."""
             od = _dot3(ox, oy, oz, dx, dy, dz)
             oo = _dot3(ox, oy, oz, ox, oy, oz)
-            a = _dot3(dx, dy, dz, dx, dy, dz)
-            inv_a = 1.0 / a
-            eps_a = jnp.float32(1e-3) * a
-            g_pad = cols_ref.shape[0]  # globals only in this mode
+            g_pad = cols_ref.shape[0]
             giota = jax.lax.broadcasted_iota(
                 jnp.int32, (g_pad, TILE_LANES), 0
             )
@@ -187,19 +186,13 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
                 t_rows.append(t_best)
                 id_rows.append(sel.astype(jnp.float32))
 
-            t_pl = jnp.concatenate(t_rows, axis=0)  # [8,128]
-            id_pl = jnp.concatenate(id_rows, axis=0)
-            t_pl, id_pl = emit_grid_walk(
-                grid_static, grid_ref[:], (ox, oy, oz), (dx, dy, dz),
-                a, inv_a, eps_a, t_pl, id_pl,
+            return (
+                jnp.concatenate(t_rows, axis=0),
+                jnp.concatenate(id_rows, axis=0),
             )
-            attrs = _unpack_attr_rows(_gather_attrs(id_pl))
-            return t_pl, attrs
 
         def intersect_tile(ox, oy, oz, dx, dy, dz):
             """Nearest hit for the whole tile. Returns planes."""
-            if grid_static is not None:
-                return intersect_tile_grid(ox, oy, oz, dx, dy, dz)
             od = _dot3(ox, oy, oz, dx, dy, dz)
             oo = _dot3(ox, oy, oz, ox, oy, oz)
             a = _dot3(dx, dy, dz, dx, dy, dz)
@@ -355,10 +348,134 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
             done=jnp.where(in_image, 0, spp).astype(jnp.int32),  # samples issued
             rays=zero_i,
         )
+        if grid_static is not None:
+            # fused-DDA extension: per-lane traversal state lives in the
+            # wave loop so one iteration = one grid cell per lane (see
+            # kernels/worklist.py module docstring for why not a nested
+            # while_loop: per-wave MAX step count ~12 vs mean 1.33)
+            state0.update(
+                seg=zero_i,  # 1 -> lane needs intersect init this iteration
+                march=zero_i,
+                ix=zero_i,
+                iz=zero_i,
+                tmaxx=zero,
+                tmaxz=zero,
+                t_out=zero,
+                t_best=zero,
+                id_best=zero,
+            )
 
         def wave_cond(st):
             has_work = (st["active"] > 0) | (st["done"] < spp)
             return jnp.max(has_work.astype(jnp.int32)) > 0
+
+        def wave_step_grid(st):
+            # 1. regenerate dead lanes that still owe samples
+            regen = (st["active"] == 0) & (st["done"] < spp)
+            s_new = st["done"].astype(jnp.uint32) + sample_offset_u
+            gox, goy, goz, gdx, gdy, gdz = camera_rays(s_new)
+
+            def sel(new, old):
+                return jnp.where(regen, new, old)
+
+            ox, oy, oz = (sel(g, o) for g, o in zip((gox, goy, goz), st["o"]))
+            dx, dy, dz = (sel(g, o) for g, o in zip((gdx, gdy, gdz), st["d"]))
+            one = jnp.ones_like(gox)
+            tr, tg, tb = (sel(one, t) for t in st["thr"])
+            cur_s = jnp.where(regen, s_new, st["cur_s"])
+            b_ctr = jnp.where(regen, 0, st["b_ctr"])
+            done = st["done"] + regen.astype(jnp.int32)
+            active_i = jnp.where(regen, 1, st["active"])
+            seg = jnp.where(regen, 1, st["seg"])
+
+            # 2. per-iteration ray invariants
+            a = _dot3(dx, dy, dz, dx, dy, dz)
+            inv_a = 1.0 / a
+            eps_a = jnp.float32(1e-3) * a
+
+            # 3. init fresh segments: globals brute force bounds the walk
+            t0, id0 = brute_globals(ox, oy, oz, dx, dy, dz, a, inv_a, eps_a)
+            march_n, ix_n, iz_n, tmx_n, tmz_n, tout_n = grid_setup(
+                grid_static, (ox, oy, oz), (dx, dy, dz), t0
+            )
+            fresh = (seg > 0) & (active_i > 0)
+            t_best = jnp.where(fresh, t0, st["t_best"])
+            id_best = jnp.where(fresh, id0, st["id_best"])
+            march = jnp.where(fresh, march_n, st["march"])
+            ix = jnp.where(fresh, ix_n, st["ix"])
+            iz = jnp.where(fresh, iz_n, st["iz"])
+            tmaxx = jnp.where(fresh, tmx_n, st["tmaxx"])
+            tmaxz = jnp.where(fresh, tmz_n, st["tmaxz"])
+            t_out = jnp.where(fresh, tout_n, st["t_out"])
+
+            # 4. ONE DDA step for every lane (finished lanes fetch pad)
+            (march, ix, iz, tmaxx, tmaxz, t_out, t_best, id_best) = grid_step(
+                grid_static, grid_ref[:],
+                (march, ix, iz, tmaxx, tmaxz, t_out, t_best, id_best),
+                (ox, oy, oz), (dx, dy, dz), a, inv_a, eps_a,
+            )
+
+            # 5. lanes whose walk completed shade + scatter now
+            finish = (active_i > 0) & (march == 0)
+            (cx, cy, cz, inv_r, kind, param, ar, ag, ab) = (
+                _unpack_attr_rows(_gather_attrs(id_best))
+            )
+            hit = t_best < BIG_CUT
+            t_safe = jnp.where(hit, t_best, 1.0)
+            hx_ = ox + t_safe * dx
+            hy_ = oy + t_safe * dy
+            hz_ = oz + t_safe * dz
+            onx = (hx_ - cx) * inv_r
+            ony = (hy_ - cy) * inv_r
+            onz = (hz_ - cz) * inv_r
+            front = _dot3(dx, dy, dz, onx, ony, onz) < 0.0
+            sgn = jnp.where(front, 1.0, -1.0)
+            nx, ny, nz = onx * sgn, ony * sgn, onz * sgn
+
+            u0, u1, u2, _u3 = _pcg4d_planes(
+                pix_u, cur_s, b_ctr.astype(jnp.uint32),
+                jnp.broadcast_to(seed.astype(jnp.uint32), cur_s.shape),
+            )
+            (ndx, ndy, ndz), (atr, atg, atb), (emr, emg, emb), term, ud = (
+                scatter_planes(
+                    kind, param, (ar, ag, ab), (dx, dy, dz), (nx, ny, nz),
+                    front, u0, u1, u2,
+                )
+            )
+            skr, skg, skb = sky_planes(ud, sky)
+
+            missed = finish & ~hit
+            hit_fin = finish & hit
+            rr, rg, rb = st["rad"]
+            rr = rr + jnp.where(missed, tr * skr, 0.0)
+            rg = rg + jnp.where(missed, tg * skg, 0.0)
+            rb = rb + jnp.where(missed, tb * skb, 0.0)
+            rr = rr + jnp.where(hit_fin, tr * emr, 0.0)
+            rg = rg + jnp.where(hit_fin, tg * emg, 0.0)
+            rb = rb + jnp.where(hit_fin, tb * emb, 0.0)
+            tr = jnp.where(hit_fin, tr * atr, tr)
+            tg = jnp.where(hit_fin, tg * atg, tg)
+            tb = jnp.where(hit_fin, tb * atb, tb)
+            ox = jnp.where(hit_fin, hx_, ox)
+            oy = jnp.where(hit_fin, hy_, oy)
+            oz = jnp.where(hit_fin, hz_, oz)
+            dx = jnp.where(hit_fin, ndx, dx)
+            dy = jnp.where(hit_fin, ndy, dy)
+            dz = jnp.where(hit_fin, ndz, dz)
+
+            rays = st["rays"] + finish.astype(jnp.int32)
+            b_ctr = b_ctr + finish.astype(jnp.int32)
+            cont = hit_fin & ~term & (b_ctr < max_bounces)
+            active_i = jnp.where(finish, cont.astype(jnp.int32), active_i)
+            seg = cont.astype(jnp.int32)  # continuing lanes re-init next iter
+            return dict(
+                o=(ox, oy, oz), d=(dx, dy, dz), thr=(tr, tg, tb),
+                rad=(rr, rg, rb), active=active_i, b_ctr=b_ctr,
+                cur_s=cur_s, done=done, rays=rays,
+                seg=seg, march=march, ix=ix, iz=iz,
+                tmaxx=tmaxx, tmaxz=tmaxz, t_out=t_out,
+                t_best=t_best, id_best=id_best,
+            )
 
         def wave_step(st):
             # 1. regenerate dead lanes that still owe samples
@@ -396,7 +513,8 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
                 cur_s=cur_s, done=done, rays=rays,
             )
 
-        state = jax.lax.while_loop(wave_cond, wave_step, state0)
+        body = wave_step if grid_static is None else wave_step_grid
+        state = jax.lax.while_loop(wave_cond, body, state0)
         out_r_ref[:] = state["rad"][0]
         out_g_ref[:] = state["rad"][1]
         out_b_ref[:] = state["rad"][2]

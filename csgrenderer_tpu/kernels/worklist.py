@@ -23,21 +23,35 @@ no coherence — and therefore no sorting — is needed at all:
   outlier spheres stay "global" and keep the brute-force path (ground +
   hero spheres in the RTIOW scene). Cells that overflow the M slots spill
   their widest spheres to globals — correct, just slower.
-- Kernel fragment (``emit_grid_walk``): per-lane 2D DDA over the grid.
-  Each step: cell one-hot [C,128] -> MXU gather of the cell's M-slot table
-  [5M, C] @ [C, 128] -> [5M, 128] whose aligned [8,128] row-blocks are the
-  slot-major cx/cy/cz/r2/id planes -> one vectorized 8-slot quadratic per
-  row group. Lanes stop when their best hit precedes the next cell
-  (cells are visited in increasing ray-t, so this is exact), when they
-  leave the grid/slab, or when they pass the globals' best hit.
+- Kernel fragments (``grid_setup`` / ``grid_step``): per-lane 2D DDA over
+  the grid. Each step: cell one-hot [C,128] -> MXU gather of the cell's
+  M-slot table -> slot-major parameter planes -> one vectorized 8-slot
+  quadratic per row group. A lane stops when its best hit precedes the
+  next cell (cells are visited in increasing ray-t, so this is exact),
+  when it leaves the grid/slab, or when it passes the globals' best hit.
+
+The DDA is WAVEFRONT-FUSED by the megakernel: measured step statistics on
+real path rays are mean 1.33 steps/segment but per-1024-lane-wave MAX ~12,
+so a nested while_loop (one walk per bounce) runs every wave to its slowest
+lane and erases the win (measured: 86.7 Mrays/s, == brute force). Instead
+the megakernel's outer wavefront loop performs ONE grid_step per iteration
+per lane and lets finished lanes shade/regenerate immediately — the same
+per-lane regeneration trick that fixed bounce drain in round 1, applied to
+traversal.
+
+Numeric layout: every table value is stored bf16-EXACT in two f32 rows
+(hi = bf16(v), lo = bf16(v - hi)), so the one-hot matmul runs in the MXU's
+single fast bf16 pass and reconstructs v to ~1.6e-5 relative (centers to
+~2e-4 absolute here — two orders below a 1080p pixel footprint). Sphere ids
+are split digit-wise (id = 256a + b) for the same reason. Padding
+cells/slots carry r2 = -1e30, which drives the discriminant negative and
+routes to a miss through the kernel's NaN-comparison convention.
 
 Correctness argument for the early exit: a sphere's every surface point
 lies in some cell of the grid (the grid bbox is inflated by each sphere's
 radius), and that cell lists the sphere; the DDA visits cells in increasing
 t, so any hit with t before the current cell's entry was already found in
-an earlier cell. Padding cells/slots carry r2 = -1e30, which drives the
-discriminant negative and routes to a miss through the kernel's
-NaN-comparison convention.
+an earlier cell.
 """
 
 from __future__ import annotations
@@ -48,9 +62,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import BIG, BIG_CUT, TILE_LANES, TILE_ROWS
+from .common import BIG, TILE_LANES, TILE_ROWS
 
 PAD_R2 = np.float32(-1e30)
+
+# table row-section order (each section is m rows, slot-major)
+_SECTIONS = (
+    "cx_hi", "cx_lo", "cy_hi", "cy_lo", "cz_hi", "cz_lo",
+    "r2_hi", "r2_lo", "id_hi", "id_lo",
+)
+N_SECTIONS = len(_SECTIONS)
 
 
 class GridStatic(NamedTuple):
@@ -69,12 +90,22 @@ class GridStatic(NamedTuple):
 
 class GridPack(NamedTuple):
     static: GridStatic
-    table: np.ndarray  # [5*m, c_pad] f32: cx | cy | cz | r2 | global id
+    table: np.ndarray  # [N_SECTIONS*m, c_pad] f32, all values bf16-exact
     order: np.ndarray  # permutation: new index -> original sphere index
     n_globals: int  # globals occupy reordered indices [0, n_globals)
 
 
-def _overlap_counts(cgrid, rgrid, x0, z0, cell, ncx, ncz):
+def _bf16_split(v):
+    """v (f64/f32 array) -> (hi, lo) f32 pair, both exactly bf16."""
+    import ml_dtypes
+
+    v32 = np.asarray(v, np.float32)
+    hi = v32.astype(ml_dtypes.bfloat16).astype(np.float32)
+    lo = (v32 - hi).astype(ml_dtypes.bfloat16).astype(np.float32)
+    return hi, lo
+
+
+def _overlap_lists(cgrid, rgrid, x0, z0, cell, ncx, ncz):
     """Per-cell candidate lists via circle-rectangle overlap (numpy)."""
     lists: list[list[int]] = [[] for _ in range(ncx * ncz)]
     for i in range(cgrid.shape[0]):
@@ -109,6 +140,10 @@ def pack_grid(
     x median radius) that fit a thin y-slab go into the grid; everything
     else stays global. The reordered scene puts globals first so the brute
     pass's sphere indices are already global attribute-table indices.
+
+    Everything returned is NUMPY: inside a jit trace jnp.asarray(numpy)
+    returns a tracer (jax >= 0.9) and would poison host-side packing
+    downstream; the jit boundary converts instead.
 
     Results are memoized on the scene's array identities: the packer is
     host-side numpy and a progressive renderer calls it every frame with
@@ -160,6 +195,7 @@ def pack_grid(
     # cell still fits m slots; spill overfull cells' widest spheres to
     # globals if even the densest grid can't fit
     best = None
+    best_candidate = None
     target = max(ex_x, ex_z)
     for n_side in (8, 12, 16, 20, 24, 28, 32):
         cell = target / n_side + 1e-9
@@ -167,13 +203,15 @@ def pack_grid(
         ncz = max(1, int(np.ceil((z1 - z0) / cell)))
         if ncx * ncz > max_cells:
             break
-        lists = _overlap_counts(cgrid, rgrid, x0, z0, cell, ncx, ncz)
+        lists = _overlap_lists(cgrid, rgrid, x0, z0, cell, ncx, ncz)
         worst = max((len(l) for l in lists), default=0)
         if worst <= m:
             best = (cell, ncx, ncz, lists, [])
             break
         best_candidate = (cell, ncx, ncz, lists)
     if best is None:
+        if best_candidate is None:
+            return _memo(None)
         # densest grid still overflows: spill widest spheres of overfull
         # cells until everything fits
         cell, ncx, ncz, lists = best_candidate
@@ -181,7 +219,7 @@ def pack_grid(
         changed = True
         while changed:
             changed = False
-            for li, l in enumerate(lists):
+            for l in lists:
                 live = [i for i in l if i not in spilled]
                 if len(live) > m:
                     live_sorted = sorted(live, key=lambda i: -rgrid[i])
@@ -207,22 +245,23 @@ def pack_grid(
     c_cells = ncx * ncz
     c_pad = int(np.ceil((c_cells + 1) / 128.0)) * 128  # +1 pad column
 
-    table = np.zeros((5 * m, c_pad), np.float32)
-    table[3 * m : 4 * m, :] = PAD_R2
+    table = np.zeros((N_SECTIONS * m, c_pad), np.float32)
+    table[6 * m : 7 * m, :] = PAD_R2  # r2_hi: pad cells/slots always miss
     for cell_i, l in enumerate(lists):
         live = [i for i in l if i not in spilled_set]
         assert len(live) <= m
         for slot, i in enumerate(live):
-            gi = float(inv[idx_small[i]])  # reordered global sphere index
-            table[slot, cell_i] = cgrid[i, 0]
-            table[m + slot, cell_i] = cgrid[i, 1]
-            table[2 * m + slot, cell_i] = cgrid[i, 2]
-            table[3 * m + slot, cell_i] = rgrid[i] * rgrid[i]
-            table[4 * m + slot, cell_i] = gi
+            gi = int(inv[idx_small[i]])  # reordered global sphere index
+            vals = {}
+            vals["cx_hi"], vals["cx_lo"] = _bf16_split(cgrid[i, 0])
+            vals["cy_hi"], vals["cy_lo"] = _bf16_split(cgrid[i, 1])
+            vals["cz_hi"], vals["cz_lo"] = _bf16_split(cgrid[i, 2])
+            vals["r2_hi"], vals["r2_lo"] = _bf16_split(rgrid[i] * rgrid[i])
+            vals["id_hi"] = np.float32(256 * (gi // 256))  # bf16-exact
+            vals["id_lo"] = np.float32(gi % 256)  # bf16-exact (<= 255)
+            for sec, v in vals.items():
+                table[_SECTIONS.index(sec) * m + slot, cell_i] = v
 
-    # NUMPY arrays on purpose: inside a jit trace jnp.asarray(numpy)
-    # returns a tracer (jax >= 0.5-ish), which would poison the host-side
-    # pack_scene downstream. The jit boundary of _render_packed converts.
     reordered = SphereScene(
         centers=np.asarray(scene.centers)[order],
         radii=np.asarray(scene.radii)[order],
@@ -243,29 +282,31 @@ def pack_grid(
     )
     pack = GridPack(
         static=static,
-        table=table,  # numpy: converted at the jit boundary
+        table=table,
         order=order,
         n_globals=n_globals,
     )
     return _memo((pack, reordered))
 
 
-def emit_grid_walk(gs: GridStatic, tab, o, d, a, inv_a, eps_a, t_best0, id_best0):
-    """Trace-time builder: refine (t_best, id_best) with the grid worklists.
+# ---------------------------------------------------------------------------
+# kernel-side fragments (trace-time builders over [8,128] planes)
+# ---------------------------------------------------------------------------
 
-    All arguments are [8,128] planes except ``tab`` (the [5m, c_pad] VMEM
-    table value) and ``gs`` (static). Returns (t_best, id_best) planes.
-    Runs INSIDE the Pallas kernel at trace time.
+
+def grid_setup(gs: GridStatic, o, d, t_glob):
+    """DDA init for fresh segments.
+
+    Returns (march, ix, iz, tmaxx, tmaxz, t_out) planes. ``t_glob`` is the
+    globals' best hit — cells beyond it cannot contain a nearer hit, so it
+    bounds the walk.
     """
     ox, oy, oz = o
     dx, dy, dz = d
-    m = gs.m
     eps_y = np.float32(1e-12)
     big = BIG
-    pad_cell = np.int32(gs.c_pad - 1)
     inv_cell = np.float32(1.0 / gs.cell)
 
-    # --- t-interval of the ray inside slab x grid bbox --------------------
     def axis_range(o_c, d_c, lo, hi):
         inv = 1.0 / d_c
         t0 = (np.float32(lo) - o_c) * inv
@@ -288,11 +329,10 @@ def emit_grid_walk(gs: GridStatic, tab, o, d, a, inv_a, eps_a, t_best0, id_best0
         jnp.maximum(tx_lo, ty_lo), jnp.maximum(tz_lo, np.float32(1e-3))
     )
     t_out = jnp.minimum(jnp.minimum(tx_hi, ty_hi), tz_hi)
-    t_out = jnp.minimum(t_out, t_best0)  # beyond the globals' best: useless
+    t_out = jnp.minimum(t_out, t_glob)
 
-    active0 = (t_in <= t_out).astype(jnp.int32)
+    march = (t_in <= t_out).astype(jnp.int32)
 
-    # --- DDA state ---------------------------------------------------------
     px = ox + t_in * dx
     pz = oz + t_in * dz
     ix0 = jnp.clip(
@@ -305,11 +345,10 @@ def emit_grid_walk(gs: GridStatic, tab, o, d, a, inv_a, eps_a, t_best0, id_best0
     )
     step_x = jnp.where(dx > 0, 1, jnp.where(dx < 0, -1, 0)).astype(jnp.int32)
     step_z = jnp.where(dz > 0, 1, jnp.where(dz < 0, -1, 0)).astype(jnp.int32)
-    inv_dx = 1.0 / dx  # +-inf on zero is fine: masked below
+    inv_dx = 1.0 / dx  # +-inf on zero: masked below
     inv_dz = 1.0 / dz
     flat_x = jnp.abs(dx) < eps_y
     flat_z = jnp.abs(dz) < eps_y
-    # t at the first x/z cell boundary ahead of t_in
     next_bx = np.float32(gs.x0) + (
         ix0 + jnp.where(step_x > 0, 1, 0)
     ).astype(jnp.float32) * np.float32(gs.cell)
@@ -318,84 +357,108 @@ def emit_grid_walk(gs: GridStatic, tab, o, d, a, inv_a, eps_a, t_best0, id_best0
     ).astype(jnp.float32) * np.float32(gs.cell)
     tmaxx0 = jnp.where(flat_x, big, (next_bx - ox) * inv_dx)
     tmaxz0 = jnp.where(flat_z, big, (next_bz - oz) * inv_dz)
-    tdx = jnp.where(flat_x, big, jnp.abs(np.float32(gs.cell) * inv_dx))
-    tdz = jnp.where(flat_z, big, jnp.abs(np.float32(gs.cell) * inv_dz))
+    return march, ix0, iz0, tmaxx0, tmaxz0, t_out
 
-    cell_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (gs.c_pad, TILE_LANES), 0
+
+def grid_step(gs: GridStatic, tab, state, o, d, a, inv_a, eps_a):
+    """ONE DDA step for every lane: gather + 8-slot test + advance.
+
+    ``state`` = (march, ix, iz, tmaxx, tmaxz, t_out, t_best, id_best); all
+    planes. Returns the updated tuple. Lanes with march == 0 fetch the pad
+    cell (guaranteed miss) and keep their state.
+    """
+    march, ix, iz, tmaxx, tmaxz, t_out, t_best, id_best = state
+    ox, oy, oz = o
+    dx, dy, dz = d
+    m = gs.m
+    big = BIG
+    eps_y = np.float32(1e-12)
+    pad_cell = np.int32(gs.c_pad - 1)
+
+    act = march > 0
+    cell_id = jnp.where(act, ix * gs.cz + iz, pad_cell)
+    cell_iota = jax.lax.broadcasted_iota(jnp.int32, (gs.c_pad, TILE_LANES), 0)
+
+    t_rows = []
+    id_rows = []
+    for g in range(TILE_ROWS):
+        onehot = (cell_iota == cell_id[g : g + 1]).astype(jnp.float32)
+        got = jax.lax.dot_general(
+            tab, onehot,
+            (((1,), (0,)), ((), ())),
+            # single bf16 pass: every table value is stored bf16-exact
+            # (hi/lo split), so the fast path loses nothing
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )  # [N_SECTIONS*m, 128]
+        cxs = got[0 * m : 1 * m] + got[1 * m : 2 * m]
+        cys = got[2 * m : 3 * m] + got[3 * m : 4 * m]
+        czs = got[4 * m : 5 * m] + got[5 * m : 6 * m]
+        r2s = got[6 * m : 7 * m] + got[7 * m : 8 * m]
+        ids = got[8 * m : 9 * m] + got[9 * m : 10 * m]
+
+        ocx = ox[g : g + 1] - cxs
+        ocy = oy[g : g + 1] - cys
+        ocz = oz[g : g + 1] - czs
+        half_b = ocx * dx[g : g + 1] + ocy * dy[g : g + 1] + ocz * dz[g : g + 1]
+        cterm = ocx * ocx + ocy * ocy + ocz * ocz - r2s
+        disc = half_b * half_b - a[g : g + 1] * cterm
+        sq = jnp.sqrt(disc)  # NaN on miss: comparisons reject it
+        ta0 = -half_b - sq
+        ta1 = -half_b + sq
+        eps_row = eps_a[g : g + 1]
+        ta = jnp.where(ta0 > eps_row, ta0, ta1)
+        tc = jnp.where(ta > eps_row, ta * inv_a[g : g + 1], big)
+        tc_min = jnp.min(tc, axis=0, keepdims=True)  # [1,128]
+        winner = jnp.where(tc == tc_min, ids, big)
+        id_min = jnp.min(winner, axis=0, keepdims=True)
+        t_rows.append(tc_min)
+        id_rows.append(id_min)
+
+    t_cand = jnp.concatenate(t_rows, axis=0)  # [8,128]
+    id_cand = jnp.concatenate(id_rows, axis=0)
+    improve = act & (t_cand < t_best)
+    t_best = jnp.where(improve, t_cand, t_best)
+    id_best = jnp.where(improve, id_cand, id_best)
+
+    # --- advance -----------------------------------------------------------
+    step_x = jnp.where(dx > 0, 1, jnp.where(dx < 0, -1, 0)).astype(jnp.int32)
+    step_z = jnp.where(dz > 0, 1, jnp.where(dz < 0, -1, 0)).astype(jnp.int32)
+    flat_x = jnp.abs(dx) < eps_y
+    flat_z = jnp.abs(dz) < eps_y
+    tdx = jnp.where(flat_x, big, jnp.abs(np.float32(gs.cell) / dx))
+    tdz = jnp.where(flat_z, big, jnp.abs(np.float32(gs.cell) / dz))
+    t_next = jnp.minimum(tmaxx, tmaxz)
+    go_x = tmaxx <= tmaxz
+    ix2 = ix + jnp.where(go_x, step_x, 0)
+    iz2 = iz + jnp.where(go_x, 0, step_z)
+    tmaxx2 = jnp.where(go_x, tmaxx + tdx, tmaxx)
+    tmaxz2 = jnp.where(go_x, tmaxz, tmaxz + tdz)
+    in_grid = (ix2 >= 0) & (ix2 < gs.cx) & (iz2 >= 0) & (iz2 < gs.cz)
+    still = act & in_grid & (t_next <= t_out) & (t_next < t_best)
+    ix = jnp.where(act, ix2, ix)
+    iz = jnp.where(act, iz2, iz)
+    tmaxx = jnp.where(act, tmaxx2, tmaxx)
+    tmaxz = jnp.where(act, tmaxz2, tmaxz)
+    return (
+        still.astype(jnp.int32), ix, iz, tmaxx, tmaxz, t_out, t_best, id_best
     )
+
+
+def emit_grid_walk(gs: GridStatic, tab, o, d, a, inv_a, eps_a, t_best0, id_best0):
+    """Whole-walk wrapper (setup + while over grid_step): used by the fuzz
+    tests to validate the DDA semantics in isolation. The megakernel does
+    NOT use this — it fuses one grid_step per wavefront iteration instead
+    (see module docstring)."""
+    march, ix, iz, tmaxx, tmaxz, t_out = grid_setup(gs, o, d, t_best0)
 
     def cond(st):
-        return jnp.max(st["active"]) > 0
+        return jnp.max(st[0]) > 0
 
     def body(st):
-        ix, iz = st["ix"], st["iz"]
-        act = st["active"] > 0
-        cell_id = jnp.where(act, ix * gs.cz + iz, pad_cell)  # [8,128] int32
-        t_best, id_best = st["t"], st["id"]
-
-        t_rows = []
-        id_rows = []
-        for g in range(TILE_ROWS):
-            onehot = (cell_iota == cell_id[g : g + 1]).astype(jnp.float32)
-            got = jax.lax.dot_general(
-                tab, onehot,
-                (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.DEFAULT,  # TIMING EXPERIMENT
-                preferred_element_type=jnp.float32,
-            )  # [5m, 128]
-            cxs = got[0 * m : 1 * m]  # [m, 128] slot-major
-            cys = got[1 * m : 2 * m]
-            czs = got[2 * m : 3 * m]
-            r2s = got[3 * m : 4 * m]
-            ids = got[4 * m : 5 * m]
-
-            ocx = ox[g : g + 1] - cxs
-            ocy = oy[g : g + 1] - cys
-            ocz = oz[g : g + 1] - czs
-            half_b = ocx * dx[g : g + 1] + ocy * dy[g : g + 1] + ocz * dz[g : g + 1]
-            cterm = ocx * ocx + ocy * ocy + ocz * ocz - r2s
-            disc = half_b * half_b - a[g : g + 1] * cterm
-            sq = jnp.sqrt(disc)  # NaN on miss: comparisons reject it
-            ta0 = -half_b - sq
-            ta1 = -half_b + sq
-            eps_row = eps_a[g : g + 1]
-            ta = jnp.where(ta0 > eps_row, ta0, ta1)
-            tc = jnp.where(ta > eps_row, ta * inv_a[g : g + 1], big)
-            tc_min = jnp.min(tc, axis=0, keepdims=True)  # [1,128]
-            winner = jnp.where(tc == tc_min, ids, big)
-            id_min = jnp.min(winner, axis=0, keepdims=True)
-            t_rows.append(tc_min)
-            id_rows.append(id_min)
-
-        t_cand = jnp.concatenate(t_rows, axis=0)  # [8,128]
-        id_cand = jnp.concatenate(id_rows, axis=0)
-        improve = act & (t_cand < t_best)
-        t_best = jnp.where(improve, t_cand, t_best)
-        id_best = jnp.where(improve, id_cand, id_best)
-
-        # --- advance -------------------------------------------------------
-        tmaxx, tmaxz = st["tmaxx"], st["tmaxz"]
-        t_next = jnp.minimum(tmaxx, tmaxz)
-        go_x = tmaxx <= tmaxz
-        ix = ix + jnp.where(go_x, step_x, 0)
-        iz = iz + jnp.where(go_x, 0, step_z)
-        tmaxx = jnp.where(go_x, tmaxx + tdx, tmaxx)
-        tmaxz = jnp.where(go_x, tmaxz, tmaxz + tdz)
-        in_grid = (ix >= 0) & (ix < gs.cx) & (iz >= 0) & (iz < gs.cz)
-        still = act & in_grid & (t_next <= t_out) & (t_next < t_best)
-        return dict(
-            active=still.astype(jnp.int32),
-            ix=ix, iz=iz, tmaxx=tmaxx, tmaxz=tmaxz,
-            t=t_best, id=id_best,
-        )
+        return grid_step(gs, tab, st, o, d, a, inv_a, eps_a)
 
     st = jax.lax.while_loop(
-        cond,
-        body,
-        dict(
-            active=active0, ix=ix0, iz=iz0, tmaxx=tmaxx0, tmaxz=tmaxz0,
-            t=t_best0, id=id_best0,
-        ),
+        cond, body, (march, ix, iz, tmaxx, tmaxz, t_out, t_best0, id_best0)
     )
-    return st["t"], st["id"]
+    return st[6], st[7]
