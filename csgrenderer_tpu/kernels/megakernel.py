@@ -109,6 +109,24 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
         py = (pix // width).astype(jnp.float32)
         pix_u = pix.astype(jnp.uint32)
 
+        # Grid mode: per-pixel lane binding makes a tile run at the pace of
+        # its most expensive PIXEL (glass ~8 bounces/sample vs sky ~1 —
+        # measured 3.26 wave iterations per segment vs the ~1.5 the step
+        # statistics allow). So (a) tiles take pixels STRIDED across the
+        # image (slot q of tile t -> pixel q*n_tiles + t) and (b) a lane's
+        # pixel ROTATES over its lane-column's 8 row slots per sample
+        # (sample k of pixel slot (r,l) is worked by lane ((r-k)%8, l)), so
+        # every lane's load is the average of 8 image-wide pixels. Completed
+        # samples are scattered back to their pixel's row with masked
+        # sublane reductions (no transposes, no MXU).
+        n_tiles_static = (n_pix + TILE - 1) // TILE
+
+        def slot_pixel(k_plane):
+            """(global pixel id, valid) for each lane's sample-k slot."""
+            rrot = (row_ids + k_plane) & 7
+            lp = (rrot * TILE_LANES + lane_ids) * n_tiles_static + tile_idx
+            return lp + pixel_offset, lp < n_pix
+
         attr = attr_ref[:]  # [16, s_pad]
         sphere_iota = jax.lax.broadcasted_iota(jnp.int32, (s_pad, TILE_LANES), 0)
         # Per-sphere constants broadcast to [rows, 128] ONCE per tile; the
@@ -125,6 +143,15 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
         c2xb = jnp.broadcast_to(cols_ref[:, 4:5], shape)  # 2 * center
         c2yb = jnp.broadcast_to(cols_ref[:, 5:6], shape)
         c2zb = jnp.broadcast_to(cols_ref[:, 6:7], shape)
+        if grid_static is not None:
+            # shading attrs of the brute-forced globals, broadcast once per
+            # tile: the fused wave selects the winner's row with a min-trick
+            # instead of a full-scene one-hot gather (ATTR_NAMES order,
+            # centers reuse cxb/cyb/czb)
+            glob_attr_b = [cxb, cyb, czb] + [
+                jnp.broadcast_to(cols_ref[:, j : j + 1], shape)
+                for j in range(7, 13)
+            ]
 
         def _gather_attrs(id_pl):
             """One-hot attr fetch by per-ray (f32-encoded) sphere id planes."""
@@ -150,9 +177,8 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
             ]  # cx, cy, cz, inv_r, kind, param, alb_r, alb_g, alb_b
 
         def brute_globals(ox, oy, oz, dx, dy, dz, a, inv_a, eps_a):
-            """(t, id) planes: nearest hit over the brute-force (global)
-            sphere table — the full scene normally, the few non-grid spheres
-            in worklist mode."""
+            """(t, id, attrs) planes: nearest hit + winner attributes over
+            the brute-force (global) sphere table."""
             od = _dot3(ox, oy, oz, dx, dy, dz)
             oo = _dot3(ox, oy, oz, ox, oy, oz)
             g_pad = cols_ref.shape[0]
@@ -162,6 +188,7 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
 
             t_rows = []
             id_rows = []
+            attr_rows = [[] for _ in range(9)]
             for g in range(TILE_ROWS):
                 dxr, dyr, dzr = dx[g:g+1], dy[g:g+1], dz[g:g+1]
                 oxr, oyr, ozr = ox[g:g+1], oy[g:g+1], oz[g:g+1]
@@ -185,10 +212,19 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
                 sel = jnp.min(cand, axis=0, keepdims=True)
                 t_rows.append(t_best)
                 id_rows.append(sel.astype(jnp.float32))
+                sel_mask = giota == sel
+                for j, ab_ in enumerate(glob_attr_b):
+                    attr_rows[j].append(
+                        jnp.min(
+                            jnp.where(sel_mask, ab_, BIG), axis=0,
+                            keepdims=True,
+                        )
+                    )
 
             return (
                 jnp.concatenate(t_rows, axis=0),
                 jnp.concatenate(id_rows, axis=0),
+                tuple(jnp.concatenate(r, axis=0) for r in attr_rows),
             )
 
         def intersect_tile(ox, oy, oz, dx, dy, dz):
@@ -299,7 +335,7 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
             return (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
                     active_i, rays)
 
-        def camera_rays(s_plane):
+        def camera_rays(s_plane, px=px, py=py, pix_u=pix_u):
             """Primary rays for per-lane sample ids ``s_plane`` (uint32)."""
             u0, u1, u2, u3 = _pcg4d_planes(
                 pix_u, s_plane,
@@ -363,17 +399,39 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
                 t_out=zero,
                 t_best=zero,
                 id_best=zero,
+                iters=zero_i,
+                attrs=tuple(zero for _ in range(9)),  # carried winner attrs
+                samp=(zero, zero, zero),  # current sample's radiance
+                pix_u=pix.astype(jnp.uint32),  # overwritten at first regen
             )
+            # slot validity is handled per sample at regeneration (the
+            # rotating assignment visits different slots), so every lane
+            # starts owing spp samples. NB: the 0-init must be VALUE-
+            # DEPENDENT — a splat init pins the while-carry to a replicated
+            # Mosaic layout the non-uniform body value can't relayout into.
+            state0["done"] = local_pix >> 31  # local_pix >= 0 -> all zeros
 
         def wave_cond(st):
             has_work = (st["active"] > 0) | (st["done"] < spp)
             return jnp.max(has_work.astype(jnp.int32)) > 0
 
         def wave_step_grid(st):
-            # 1. regenerate dead lanes that still owe samples
-            regen = (st["active"] == 0) & (st["done"] < spp)
-            s_new = st["done"].astype(jnp.uint32) + sample_offset_u
-            gox, goy, goz, gdx, gdy, gdz = camera_rays(s_new)
+            # 1. regenerate dead lanes that still owe samples; each lane's
+            # next pixel comes from the rotating strided slot map, and
+            # invalid slots (partial last tile) are consumed with no work
+            want = (st["active"] == 0) & (st["done"] < spp)
+            k_new = st["done"]
+            pix_new, valid = slot_pixel(k_new)
+            regen = want & valid
+            consumed = want  # valid or not, the sample index advances
+            s_new = k_new.astype(jnp.uint32) + sample_offset_u
+            px_n = (pix_new % width).astype(jnp.float32)
+            py_n = (pix_new // width).astype(jnp.float32)
+            pixu_n = pix_new.astype(jnp.uint32)
+            pix_cur = jnp.where(regen, pixu_n, st["pix_u"])
+            gox, goy, goz, gdx, gdy, gdz = camera_rays(
+                s_new, px=px_n, py=py_n, pix_u=pixu_n
+            )
 
             def sel(new, old):
                 return jnp.where(regen, new, old)
@@ -382,9 +440,10 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
             dx, dy, dz = (sel(g, o) for g, o in zip((gdx, gdy, gdz), st["d"]))
             one = jnp.ones_like(gox)
             tr, tg, tb = (sel(one, t) for t in st["thr"])
+            sr, sg, sb = (sel(jnp.zeros_like(one), v) for v in st["samp"])
             cur_s = jnp.where(regen, s_new, st["cur_s"])
             b_ctr = jnp.where(regen, 0, st["b_ctr"])
-            done = st["done"] + regen.astype(jnp.int32)
+            done = st["done"] + consumed.astype(jnp.int32)
             active_i = jnp.where(regen, 1, st["active"])
             seg = jnp.where(regen, 1, st["seg"])
 
@@ -394,13 +453,19 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
             eps_a = jnp.float32(1e-3) * a
 
             # 3. init fresh segments: globals brute force bounds the walk
-            t0, id0 = brute_globals(ox, oy, oz, dx, dy, dz, a, inv_a, eps_a)
+            t0, id0, attrs0 = brute_globals(
+                ox, oy, oz, dx, dy, dz, a, inv_a, eps_a
+            )
             march_n, ix_n, iz_n, tmx_n, tmz_n, tout_n = grid_setup(
                 grid_static, (ox, oy, oz), (dx, dy, dz), t0
             )
             fresh = (seg > 0) & (active_i > 0)
             t_best = jnp.where(fresh, t0, st["t_best"])
             id_best = jnp.where(fresh, id0, st["id_best"])
+            attrs = tuple(
+                jnp.where(fresh, a0, ao)
+                for a0, ao in zip(attrs0, st["attrs"])
+            )
             march = jnp.where(fresh, march_n, st["march"])
             ix = jnp.where(fresh, ix_n, st["ix"])
             iz = jnp.where(fresh, iz_n, st["iz"])
@@ -409,17 +474,19 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
             t_out = jnp.where(fresh, tout_n, st["t_out"])
 
             # 4. ONE DDA step for every lane (finished lanes fetch pad)
-            (march, ix, iz, tmaxx, tmaxz, t_out, t_best, id_best) = grid_step(
-                grid_static, grid_ref[:],
-                (march, ix, iz, tmaxx, tmaxz, t_out, t_best, id_best),
-                (ox, oy, oz), (dx, dy, dz), a, inv_a, eps_a,
+            (march, ix, iz, tmaxx, tmaxz, t_out, t_best, id_best, attrs) = (
+                grid_step(
+                    grid_static, grid_ref[:],
+                    (march, ix, iz, tmaxx, tmaxz, t_out, t_best, id_best,
+                     attrs),
+                    (ox, oy, oz), (dx, dy, dz), a, inv_a, eps_a,
+                )
             )
 
-            # 5. lanes whose walk completed shade + scatter now
+            # 5. lanes whose walk completed shade + scatter now (winner
+            # attrs were carried out of the walk — no gather needed)
             finish = (active_i > 0) & (march == 0)
-            (cx, cy, cz, inv_r, kind, param, ar, ag, ab) = (
-                _unpack_attr_rows(_gather_attrs(id_best))
-            )
+            (cx, cy, cz, inv_r, kind, param, ar, ag, ab) = attrs
             hit = t_best < BIG_CUT
             t_safe = jnp.where(hit, t_best, 1.0)
             hx_ = ox + t_safe * dx
@@ -433,7 +500,7 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
             nx, ny, nz = onx * sgn, ony * sgn, onz * sgn
 
             u0, u1, u2, _u3 = _pcg4d_planes(
-                pix_u, cur_s, b_ctr.astype(jnp.uint32),
+                pix_cur, cur_s, b_ctr.astype(jnp.uint32),
                 jnp.broadcast_to(seed.astype(jnp.uint32), cur_s.shape),
             )
             (ndx, ndy, ndz), (atr, atg, atb), (emr, emg, emb), term, ud = (
@@ -446,13 +513,13 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
 
             missed = finish & ~hit
             hit_fin = finish & hit
-            rr, rg, rb = st["rad"]
-            rr = rr + jnp.where(missed, tr * skr, 0.0)
-            rg = rg + jnp.where(missed, tg * skg, 0.0)
-            rb = rb + jnp.where(missed, tb * skb, 0.0)
-            rr = rr + jnp.where(hit_fin, tr * emr, 0.0)
-            rg = rg + jnp.where(hit_fin, tg * emg, 0.0)
-            rb = rb + jnp.where(hit_fin, tb * emb, 0.0)
+            # segment contributions accumulate into the SAMPLE-local planes
+            sr = sr + jnp.where(missed, tr * skr, 0.0)
+            sg = sg + jnp.where(missed, tg * skg, 0.0)
+            sb = sb + jnp.where(missed, tb * skb, 0.0)
+            sr = sr + jnp.where(hit_fin, tr * emr, 0.0)
+            sg = sg + jnp.where(hit_fin, tg * emg, 0.0)
+            sb = sb + jnp.where(hit_fin, tb * emb, 0.0)
             tr = jnp.where(hit_fin, tr * atr, tr)
             tg = jnp.where(hit_fin, tg * atg, tg)
             tb = jnp.where(hit_fin, tb * atb, tb)
@@ -468,13 +535,39 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
             cont = hit_fin & ~term & (b_ctr < max_bounces)
             active_i = jnp.where(finish, cont.astype(jnp.int32), active_i)
             seg = cont.astype(jnp.int32)  # continuing lanes re-init next iter
+
+            # 6. completed samples scatter to their pixel's row slot:
+            # dst row = (r + k) % 8 (the rotation's inverse), realized as 8
+            # masked sublane reductions — no cross-lane moves needed
+            complete = finish & ~cont
+            k_cur = (cur_s - sample_offset_u).astype(jnp.int32)
+            dst = (row_ids + k_cur) & 7
+            rr, rg, rb = st["rad"]
+            masks = [complete & (dst == t_row) for t_row in range(8)]
+            new_rows = [[], [], []]
+            for ch, (s_ch, r_ch) in enumerate(
+                zip((sr, sg, sb), (rr, rg, rb))
+            ):
+                contrib = jnp.where(complete, s_ch, 0.0)
+                for t_row in range(8):
+                    add = jnp.sum(
+                        jnp.where(masks[t_row], contrib, 0.0),
+                        axis=0, keepdims=True,
+                    )
+                    new_rows[ch].append(r_ch[t_row : t_row + 1] + add)
+            rr = jnp.concatenate(new_rows[0], axis=0)
+            rg = jnp.concatenate(new_rows[1], axis=0)
+            rb = jnp.concatenate(new_rows[2], axis=0)
+
             return dict(
                 o=(ox, oy, oz), d=(dx, dy, dz), thr=(tr, tg, tb),
                 rad=(rr, rg, rb), active=active_i, b_ctr=b_ctr,
                 cur_s=cur_s, done=done, rays=rays,
+                iters=st["iters"] + 1,
                 seg=seg, march=march, ix=ix, iz=iz,
                 tmaxx=tmaxx, tmaxz=tmaxz, t_out=t_out,
-                t_best=t_best, id_best=id_best,
+                t_best=t_best, id_best=id_best, attrs=attrs,
+                samp=(sr, sg, sb), pix_u=pix_cur,
             )
 
         def wave_step(st):
@@ -518,7 +611,11 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
         out_r_ref[:] = state["rad"][0]
         out_g_ref[:] = state["rad"][1]
         out_b_ref[:] = state["rad"][2]
-        rays_ref[:] = state["rays"]
+        import os as _os
+        if _os.environ.get("CSGR_DEBUG_ITERS") and grid_static is not None:
+            rays_ref[:] = state["iters"]
+        else:
+            rays_ref[:] = state["rays"]
 
     return kernel
 
@@ -551,11 +648,17 @@ def pack_scene(scene: SphereScene, n_brute: int | None = None) -> _PackedScene:
     nb = s if n_brute is None else n_brute
     nb_pad = max(8, int(np.ceil(nb / 8)) * 8)
 
-    cols = np.zeros((nb_pad, 8), np.float32)
+    cols = np.zeros((nb_pad, 16), np.float32)
     attr = np.zeros((16, s_pad), np.float32)
     cols[:nb, 0:3] = c[:nb]
     cols[:nb, 3] = np.sum(c[:nb] * c[:nb], axis=1) - r[:nb] * r[:nb]
     cols[:nb, 4:7] = 2.0 * c[:nb]  # pre-scaled for the c-term dot
+    # shading attrs of the brute spheres (worklist mode selects them with a
+    # min-trick instead of the one-hot attr gather): inv_r, kind, param, alb
+    cols[:nb, 7] = 1.0 / np.maximum(r[:nb], 1e-12)
+    cols[:nb, 8] = kind[:nb]
+    cols[:nb, 9] = prm[:nb]
+    cols[:nb, 10:13] = alb[:nb]
     # padding spheres: huge positive c-term constant => disc < 0 always
     cols[nb:, 3] = 1e30
 
@@ -656,6 +759,12 @@ def _render_packed(
         interpret=interpret,
     )(*inputs)
 
+    if grid_static is not None:
+        # un-stride: kernel slot q of tile t holds pixel q*n_tiles + t
+        def unstride(arr):
+            return arr.reshape(n_tiles, TILE).T.reshape(-1)
+
+        r, g, b = unstride(r), unstride(g), unstride(b)
     flat = jnp.stack(
         [r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1
     )[:n_pix]

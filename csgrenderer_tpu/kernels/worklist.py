@@ -66,12 +66,19 @@ from .common import BIG, TILE_LANES, TILE_ROWS
 
 PAD_R2 = np.float32(-1e30)
 
-# table row-section order (each section is m rows, slot-major)
+# table row-section order (each section is m rows, slot-major). Geometry
+# values are hi/lo split (bf16-exact pairs); shading attributes ride along
+# so the winner's material is carried out of the walk and the shade step
+# needs NO full-scene gather. kind is a small exact integer; albedo/param
+# tolerate bf16's 0.4% (color/fuzz), inv_r is hi/lo (feeds the normal).
 _SECTIONS = (
     "cx_hi", "cx_lo", "cy_hi", "cy_lo", "cz_hi", "cz_lo",
     "r2_hi", "r2_lo", "id_hi", "id_lo",
+    "inv_r_hi", "inv_r_lo", "kind", "param", "alb_r", "alb_g", "alb_b",
 )
 N_SECTIONS = len(_SECTIONS)
+# attrs carried per lane through the walk, in the order grid_step returns
+ATTR_NAMES = ("cx", "cy", "cz", "inv_r", "kind", "param", "ar", "ag", "ab")
 
 
 class GridStatic(NamedTuple):
@@ -252,6 +259,7 @@ def pack_grid(
         assert len(live) <= m
         for slot, i in enumerate(live):
             gi = int(inv[idx_small[i]])  # reordered global sphere index
+            oi = idx_small[i]  # original scene index for attributes
             vals = {}
             vals["cx_hi"], vals["cx_lo"] = _bf16_split(cgrid[i, 0])
             vals["cy_hi"], vals["cy_lo"] = _bf16_split(cgrid[i, 1])
@@ -259,6 +267,15 @@ def pack_grid(
             vals["r2_hi"], vals["r2_lo"] = _bf16_split(rgrid[i] * rgrid[i])
             vals["id_hi"] = np.float32(256 * (gi // 256))  # bf16-exact
             vals["id_lo"] = np.float32(gi % 256)  # bf16-exact (<= 255)
+            vals["inv_r_hi"], vals["inv_r_lo"] = _bf16_split(
+                1.0 / max(rgrid[i], 1e-12)
+            )
+            vals["kind"] = np.float32(np.asarray(scene.mat_kind)[oi])
+            vals["param"] = np.float32(np.asarray(scene.mat_param)[oi])
+            alb = np.asarray(scene.albedo)[oi]
+            vals["alb_r"] = np.float32(alb[0])
+            vals["alb_g"] = np.float32(alb[1])
+            vals["alb_b"] = np.float32(alb[2])
             for sec, v in vals.items():
                 table[_SECTIONS.index(sec) * m + slot, cell_i] = v
 
@@ -361,13 +378,14 @@ def grid_setup(gs: GridStatic, o, d, t_glob):
 
 
 def grid_step(gs: GridStatic, tab, state, o, d, a, inv_a, eps_a):
-    """ONE DDA step for every lane: gather + 8-slot test + advance.
+    """ONE DDA step for every lane: gather + m-slot test + advance.
 
-    ``state`` = (march, ix, iz, tmaxx, tmaxz, t_out, t_best, id_best); all
-    planes. Returns the updated tuple. Lanes with march == 0 fetch the pad
-    cell (guaranteed miss) and keep their state.
+    ``state`` = (march, ix, iz, tmaxx, tmaxz, t_out, t_best, id_best,
+    attrs) where attrs is the 9-tuple of carried winner-attribute planes
+    (ATTR_NAMES order). Returns the updated tuple. Lanes with march == 0
+    fetch the pad cell (guaranteed miss) and keep their state.
     """
-    march, ix, iz, tmaxx, tmaxz, t_out, t_best, id_best = state
+    march, ix, iz, tmaxx, tmaxz, t_out, t_best, id_best, attrs = state
     ox, oy, oz = o
     dx, dy, dz = d
     m = gs.m
@@ -381,12 +399,13 @@ def grid_step(gs: GridStatic, tab, state, o, d, a, inv_a, eps_a):
 
     t_rows = []
     id_rows = []
+    attr_rows = [[] for _ in range(9)]
     for g in range(TILE_ROWS):
         onehot = (cell_iota == cell_id[g : g + 1]).astype(jnp.float32)
         got = jax.lax.dot_general(
             tab, onehot,
             (((1,), (0,)), ((), ())),
-            # single bf16 pass: every table value is stored bf16-exact
+            # single bf16 pass: geometry values are stored bf16-exact
             # (hi/lo split), so the fast path loses nothing
             precision=jax.lax.Precision.DEFAULT,
             preferred_element_type=jnp.float32,
@@ -414,12 +433,31 @@ def grid_step(gs: GridStatic, tab, state, o, d, a, inv_a, eps_a):
         id_min = jnp.min(winner, axis=0, keepdims=True)
         t_rows.append(tc_min)
         id_rows.append(id_min)
+        # winner attrs by id (consistent across attrs even on t-ties)
+        sel = ids == id_min
+        slot_attrs = (
+            cxs, cys, czs,
+            got[10 * m : 11 * m] + got[11 * m : 12 * m],  # inv_r
+            got[12 * m : 13 * m],  # kind
+            got[13 * m : 14 * m],  # param
+            got[14 * m : 15 * m],  # alb_r
+            got[15 * m : 16 * m],  # alb_g
+            got[16 * m : 17 * m],  # alb_b
+        )
+        for j, sa in enumerate(slot_attrs):
+            attr_rows[j].append(
+                jnp.min(jnp.where(sel, sa, big), axis=0, keepdims=True)
+            )
 
     t_cand = jnp.concatenate(t_rows, axis=0)  # [8,128]
     id_cand = jnp.concatenate(id_rows, axis=0)
     improve = act & (t_cand < t_best)
     t_best = jnp.where(improve, t_cand, t_best)
     id_best = jnp.where(improve, id_cand, id_best)
+    attrs = tuple(
+        jnp.where(improve, jnp.concatenate(rows, axis=0), old)
+        for rows, old in zip(attr_rows, attrs)
+    )
 
     # --- advance -----------------------------------------------------------
     step_x = jnp.where(dx > 0, 1, jnp.where(dx < 0, -1, 0)).astype(jnp.int32)
@@ -441,7 +479,8 @@ def grid_step(gs: GridStatic, tab, state, o, d, a, inv_a, eps_a):
     tmaxx = jnp.where(act, tmaxx2, tmaxx)
     tmaxz = jnp.where(act, tmaxz2, tmaxz)
     return (
-        still.astype(jnp.int32), ix, iz, tmaxx, tmaxz, t_out, t_best, id_best
+        still.astype(jnp.int32), ix, iz, tmaxx, tmaxz, t_out, t_best,
+        id_best, attrs,
     )
 
 
@@ -451,6 +490,7 @@ def emit_grid_walk(gs: GridStatic, tab, o, d, a, inv_a, eps_a, t_best0, id_best0
     NOT use this — it fuses one grid_step per wavefront iteration instead
     (see module docstring)."""
     march, ix, iz, tmaxx, tmaxz, t_out = grid_setup(gs, o, d, t_best0)
+    attrs0 = tuple(jnp.zeros_like(t_best0) for _ in range(9))
 
     def cond(st):
         return jnp.max(st[0]) > 0
@@ -459,6 +499,7 @@ def emit_grid_walk(gs: GridStatic, tab, o, d, a, inv_a, eps_a, t_best0, id_best0
         return grid_step(gs, tab, st, o, d, a, inv_a, eps_a)
 
     st = jax.lax.while_loop(
-        cond, body, (march, ix, iz, tmaxx, tmaxz, t_out, t_best0, id_best0)
+        cond, body,
+        (march, ix, iz, tmaxx, tmaxz, t_out, t_best0, id_best0, attrs0),
     )
     return st[6], st[7]
