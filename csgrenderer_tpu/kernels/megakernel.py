@@ -808,9 +808,13 @@ def render_image_pallas(
     if worklist in (True, "auto"):
         packed_grid = pack_grid(scene)
         if packed_grid is not None:
+            import ml_dtypes
+
             pack, scene = packed_grid  # scene reordered: globals first
             grid_static = pack.static
-            grid_table = pack.table
+            # bf16 storage is lossless here (every value bf16-exact) and
+            # makes the in-kernel gather a native single-pass MXU matmul
+            grid_table = pack.table.astype(ml_dtypes.bfloat16)
             packed = pack_scene(scene, n_brute=pack.n_globals)
         elif worklist is True:
             raise ValueError("worklist=True but the scene is not griddable")

@@ -204,7 +204,7 @@ def pack_grid(
     best = None
     best_candidate = None
     target = max(ex_x, ex_z)
-    for n_side in (8, 12, 16, 20, 24, 28, 32):
+    for n_side in (6, 7, 8, 9, 10, 11, 12, 14, 16, 20, 24, 28, 32):
         cell = target / n_side + 1e-9
         ncx = max(1, int(np.ceil((x1 - x0) / cell)))
         ncz = max(1, int(np.ceil((z1 - z0) / cell)))
@@ -401,12 +401,13 @@ def grid_step(gs: GridStatic, tab, state, o, d, a, inv_a, eps_a):
     id_rows = []
     attr_rows = [[] for _ in range(9)]
     for g in range(TILE_ROWS):
-        onehot = (cell_iota == cell_id[g : g + 1]).astype(jnp.float32)
+        # bf16 one-hot + bf16 table = the MXU's native single-pass matmul;
+        # loses nothing because the one-hot is 0/1 and every table value is
+        # stored bf16-exact (hi/lo split)
+        onehot = (cell_iota == cell_id[g : g + 1]).astype(tab.dtype)
         got = jax.lax.dot_general(
             tab, onehot,
             (((1,), (0,)), ((), ())),
-            # single bf16 pass: geometry values are stored bf16-exact
-            # (hi/lo split), so the fast path loses nothing
             precision=jax.lax.Precision.DEFAULT,
             preferred_element_type=jnp.float32,
         )  # [N_SECTIONS*m, 128]
