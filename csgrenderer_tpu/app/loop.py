@@ -59,8 +59,16 @@ class App:
         max_frames: Optional[int] = None,
         max_seconds: Optional[float] = None,
         time_fn: Callable[[], float] = time.monotonic,
+        frames_in_flight: int = 1,
     ) -> bool:
         """Fixed-timestep loop (app.c:74-214 semantics, headless).
+
+        ``frames_in_flight > 1`` pipelines: frame N+1 is DISPATCHED (kernels
+        enqueued via the renderer's ``draw_frame_async``) before frame N's
+        device->host readback is consumed by the sink, so compute overlaps
+        readback/host work — the working version of the reference's
+        2-frames-in-flight sync objects that its per-frame vkQueueWaitIdle
+        neutralized (renderer.c:51, 1742-1798, 2212).
 
         Returns True on clean completion (init returning False aborts, like
         the reference's ``wo_app_run`` failure path).
@@ -77,11 +85,30 @@ class App:
                 self.deinit_cb(self)
             return False
 
+        pipelined = frames_in_flight > 1 and hasattr(
+            self._renderer, "draw_frame_async"
+        )
+
         self._running = True
         start = time_fn()
         prev = start
         lag = 0.0
         frame = 0
+        pending: list = []  # (frame_idx, image_future, rays_future)
+        last_consume = start
+
+        def consume(entry):
+            nonlocal last_consume
+            idx, image, rays = entry
+            import numpy as np
+
+            host_img = np.asarray(image)  # blocks until the frame is ready
+            if self.frame_sink is not None:
+                self.frame_sink(idx, host_img)
+            now2 = time_fn()
+            self.stats.frame(now2 - last_consume, rays=int(rays), now=now2)
+            last_consume = now2
+
         try:
             while self._running:
                 now = time_fn()
@@ -95,19 +122,29 @@ class App:
                     lag -= update_dt
 
                 t_sim = now - start
-                image = self._renderer.draw_frame(t_sim)
-                if self.frame_sink is not None:
-                    self.frame_sink(frame, image)
+                if pipelined:
+                    image, rays = self._renderer.draw_frame_async(t_sim)
+                    pending.append((frame, image, rays))
+                    # consume the oldest once the pipe is full: the device
+                    # is already computing the frames dispatched above
+                    while len(pending) >= frames_in_flight:
+                        consume(pending.pop(0))
+                else:
+                    image = self._renderer.draw_frame(t_sim)
+                    if self.frame_sink is not None:
+                        self.frame_sink(frame, image)
+                    frame_dt = time_fn() - now
+                    rays = getattr(self._renderer, "last_frame_rays", 0)
+                    self.stats.frame(frame_dt, rays=int(rays), now=time_fn())
                 frame += 1
-
-                frame_dt = time_fn() - now
-                rays = getattr(self._renderer, "last_frame_rays", 0)
-                self.stats.frame(frame_dt, rays=int(rays), now=time_fn())
 
                 if max_frames is not None and frame >= max_frames:
                     break
                 if max_seconds is not None and time_fn() - start >= max_seconds:
                     break
+            for entry in pending:  # drain the pipeline
+                consume(entry)
+            pending.clear()
         finally:
             self._running = False
             if self.deinit_cb is not None:

@@ -32,15 +32,31 @@ from ..utils.config import RenderConfig
 
 
 class WololoRenderer:
-    """Draws the reference's hard-coded animated-sphere frame (config 1)."""
+    """Draws the reference's hard-coded animated-sphere frame (config 1).
 
-    def __init__(self, config: RenderConfig):
+    ``entry_point``: "rt1_1" (the ray tracer, frag:147-152, default) or
+    "debug_view_1" (the st-coordinate visualizer, frag:132-137) — the
+    reference switches these by editing main() and recompiling the shader;
+    here it is a constructor argument.
+    """
+
+    def __init__(self, config: RenderConfig, entry_point: str = "rt1_1"):
         self.config = config
         self.last_frame_rays = config.width * config.height  # 1 primary/px
+        if entry_point == "rt1_1":
+            render = lambda t: integrator.render_wololo_frame(  # noqa: E731
+                t, config.width, config.height
+            )
+        elif entry_point == "debug_view_1":
+            render = lambda t: integrator.render_debug_view_1(  # noqa: E731
+                config.width, config.height
+            )
+        else:
+            raise ValueError(f"unknown entry point {entry_point!r}")
         self._frame = jax.jit(
             lambda t: tonemap.to_uint8(
                 tonemap.tonemap(
-                    integrator.render_wololo_frame(t, config.width, config.height),
+                    render(t),
                     gamma=1.0,  # the reference writes linear color (SURVEY §2)
                 )
             )
@@ -48,6 +64,10 @@ class WololoRenderer:
 
     def draw_frame(self, time_sec: float):
         return self._frame(jnp.float32(time_sec))
+
+    def draw_frame_async(self, time_sec: float):
+        """(image future, rays) — the jitted frame is already async."""
+        return self._frame(jnp.float32(time_sec)), self.last_frame_rays
 
 
 class PathTraceRenderer:
@@ -134,6 +154,24 @@ class PathTraceRenderer:
             self._sample_offset += self.config.spp
             return self._tonemap(self.accumulator.image())
         return self._tonemap(radiance)
+
+    def draw_frame_async(self, time_sec: float):
+        """Dispatch a frame WITHOUT any host synchronization.
+
+        Returns (uint8 image, ray-count scalar) as device-array futures —
+        the caller consumes them later (App's frames-in-flight pipelining:
+        frame N+1's kernels are enqueued before frame N's readback is
+        consumed, the honest version of the reference's 2-frames-in-flight
+        machinery that vkQueueWaitIdle defeated, renderer.c:51, 2212).
+        Progressive accumulation keeps host state per frame, so it stays on
+        the synchronous path.
+        """
+        if self.progressive:
+            raise ValueError("progressive accumulation is synchronous")
+        radiance, rays = self._frame(
+            self.scene, jnp.float32(time_sec), jnp.int32(self._sample_offset)
+        )
+        return self._tonemap(radiance), rays
 
 
 def _hit_fn_for(scene, eps: float = 1e-3):

@@ -225,6 +225,14 @@ def _combine(a, b, op, k, zero_plane, far_plane):
     starts = [res[j] & ~prev[j] for j in range(n)]
     ends = [~res[j] & prev[j] for j in range(n)]
 
+    # silent-truncation detector: result spans beyond the K slots are
+    # dropped by the compaction; count them (real surfaces only)
+    n_spans = None
+    for j in range(n):
+        real = (starts[j] & (events[j] < _CUT)).astype(jnp.int32)
+        n_spans = real if n_spans is None else n_spans + real
+    dropped = jnp.maximum(n_spans - k, 0)
+
     def compact(flags):
         out = []
         rank = None
@@ -246,7 +254,7 @@ def _combine(a, b, op, k, zero_plane, far_plane):
             out.append(jnp.where(exists, val, far_plane))
         return out
 
-    return compact(starts), compact(ends)
+    return compact(starts), compact(ends), dropped
 
 
 def _pack_program(tape: CompiledTape):
@@ -275,7 +283,7 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix):
     eps = np.float32(1e-3)
 
     def kernel(cam_ref, meta_ref, leaf_ref,
-               out_r_ref, out_g_ref, out_b_ref, rays_ref):
+               out_r_ref, out_g_ref, out_b_ref, rays_ref, over_ref):
         tile_idx = pl.program_id(0)
         seed = meta_ref[0, 0]
         sample_offset = meta_ref[0, 1]
@@ -302,8 +310,10 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix):
         far_plane = jnp.full((TILE_ROWS, TILE_LANES), T_FAR, jnp.float32)
 
         def tape_hit(o, d):
-            """(t, hit, entering, n_shade, kind, param, alb) planes."""
+            """(t, hit, entering, n_shade, kind, param, alb, dropped)."""
             stack = []
+            zero_i32 = (zero > 1.0).astype(jnp.int32)  # non-splat zeros
+            dropped = zero_i32
             for opcode, operand in ops:
                 if opcode == OP_PUSH:
                     enter, exit_ = _leaf_interval(
@@ -313,9 +323,11 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix):
                 else:
                     right = stack.pop()
                     left = stack.pop()
-                    stack.append(
-                        _combine(left, right, opcode, k, zero, far_plane)
+                    t_in_, t_out_, d_ = _combine(
+                        left, right, opcode, k, zero, far_plane
                     )
+                    dropped = dropped + d_
+                    stack.append((t_in_, t_out_))
             t_in, t_out = stack[0]
 
             t_enter = far_plane
@@ -416,7 +428,7 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix):
             return (
                 t, hit, entering,
                 (nwx * sgn, nwy * sgn, nwz * sgn),
-                kind, param, (ar, ag, ab),
+                kind, param, (ar, ag, ab), dropped,
             )
 
         def camera_rays(s_plane):
@@ -454,6 +466,7 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix):
             cur_s=jnp.zeros((TILE_ROWS, TILE_LANES), jnp.uint32),
             done=jnp.where(in_image, 0, spp).astype(jnp.int32),
             rays=zero_i,
+            over=zero_i,
         )
 
         def wave_cond(st):
@@ -478,7 +491,7 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix):
             active_i = jnp.where(regen, 1, st["active"])
             active = active_i > 0
 
-            t, hit, entering, n, kind, param, alb = tape_hit(o, d)
+            t, hit, entering, n, kind, param, alb, dropped = tape_hit(o, d)
             u0, u1, u2, _ = pcg4d_planes(
                 pix_u, cur_s, b_ctr.astype(jnp.uint32),
                 jnp.broadcast_to(seed.astype(jnp.uint32), pix_u.shape),
@@ -509,12 +522,14 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix):
                 jnp.where(hit_active, nd, dv) for nd, dv in zip(new_d, d)
             )
             rays = st["rays"] + active_i
+            over = st["over"] + jnp.where(active, dropped, 0)
             active_i = (hit_active & ~term).astype(jnp.int32)
             b_ctr = b_ctr + 1
             active_i = jnp.where(b_ctr >= max_bounces, 0, active_i)
             return dict(
                 o=o, d=d, thr=thr, rad=tuple(rad), active=active_i,
                 b_ctr=b_ctr, cur_s=cur_s, done=done, rays=rays,
+                over=over,
             )
 
         state = jax.lax.while_loop(wave_cond, wave_step, state0)
@@ -522,6 +537,7 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix):
         out_g_ref[:] = state["rad"][1]
         out_b_ref[:] = state["rad"][2]
         rays_ref[:] = state["rays"]
+        over_ref[:] = state["over"]
 
     return kernel
 
@@ -551,7 +567,8 @@ def _render_tape_packed(
     plane_spec = pl.BlockSpec(
         (TILE_ROWS, TILE_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    r, g, b, rays = pl.pallas_call(
+    iplane = jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, TILE_LANES), jnp.int32)
+    r, g, b, rays, over = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -559,11 +576,8 @@ def _render_tape_packed(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
             pl.BlockSpec(memory_space=pltpu.SMEM),  # leaf table
         ],
-        out_specs=(plane_spec, plane_spec, plane_spec, plane_spec),
-        out_shape=(
-            plane, plane, plane,
-            jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, TILE_LANES), jnp.int32),
-        ),
+        out_specs=(plane_spec, plane_spec, plane_spec, plane_spec, plane_spec),
+        out_shape=(plane, plane, plane, iplane, iplane),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -572,7 +586,7 @@ def _render_tape_packed(
 
     flat = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
     image = flat[:n_pix].reshape(rows, width, 3) / spp
-    return image, jnp.sum(rays)
+    return image, jnp.sum(rays), jnp.sum(over)
 
 
 def render_image_tape_pallas(
@@ -590,11 +604,15 @@ def render_image_tape_pallas(
     interpret: bool = False,
     rows: int | None = None,
     row_offset=0,
+    with_overflow: bool = False,
 ):
     """Drop-in for ``integrator.render_image`` on a CompiledTape scene.
 
     ``rows``/``row_offset`` render a full-width horizontal slab (see
-    megakernel.render_image_pallas).
+    megakernel.render_image_pallas). ``with_overflow=True`` additionally
+    returns the total count of CSG interval spans silently truncated by the
+    K-slot capacity over all traced segments (0 == every evaluation was
+    exact; the interval-capacity correctness cliff is detected, not silent).
     """
     if not jitter:
         raise NotImplementedError("tape kernel always jitters")
@@ -602,10 +620,13 @@ def render_image_tape_pallas(
 
     program, leaf_tab = _pack_program(tape)
     cam_row = pack_camera(camera)
-    return _render_tape_packed(
+    image, rays, over = _render_tape_packed(
         program, leaf_tab, cam_row, width, height, spp, max_bounces,
         jnp.asarray(seed, jnp.int32), jnp.asarray(sample_offset, jnp.int32),
         lens, sky, interpret,
         height if rows is None else rows,
         jnp.asarray(row_offset, jnp.int32),
     )
+    if with_overflow:
+        return image, rays, over
+    return image, rays

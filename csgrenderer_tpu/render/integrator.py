@@ -342,3 +342,14 @@ def render_wololo_frame(time_since_start_sec, width: int, height: int) -> Array:
     n = vec.normalized(d * t[..., None] - center, eps=1e-20)
     hit_color = 0.5 * (n + 1.0)
     return jnp.where(hit[..., None], hit_color, sky_color(d, "wololo"))
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def render_debug_view_1(width: int, height: int) -> Array:
+    """``ep_debug_view_1`` (ubershader1.frag:132-137): the st-coordinate
+    visualizer — color = (st.x, st.y, 0). The reference can only reach it by
+    editing main() and recompiling the shader (frag:160-163); here it is a
+    first-class entry point."""
+    st_x, st_y = pixel_st_grid(width, height)
+    zero = jnp.zeros_like(st_x)
+    return jnp.stack([st_x, st_y, zero], axis=-1)

@@ -86,8 +86,16 @@ def combine(
     b: tuple[Array, Array],
     op: str,
     k: int | None = None,
-) -> tuple[Array, Array]:
-    """Boolean-combine two interval lists. op in {"union","intersect","diff"}."""
+    with_dropped: bool = False,
+):
+    """Boolean-combine two interval lists. op in {"union","intersect","diff"}.
+
+    ``with_dropped=True`` also returns the per-ray count of result intervals
+    that did NOT fit the K slots (silent-truncation detector: deep CSG along
+    a single ray can produce more than K disjoint spans, and the compaction
+    keeps only the K nearest — see the round-1 verdict's "correctness
+    cliff"). Zero means the result is exact.
+    """
     a_in, a_out = a
     b_in, b_out = b
     if k is None:
@@ -125,6 +133,13 @@ def combine(
     t_out = _compact(ends, events, k)
     # Every start inside the domain has a matching end (lists are clipped),
     # so slot-wise pairing is exact.
+    if with_dropped:
+        # intervals whose start is a REAL surface (below the cutoff) count
+        # toward capacity; starts at/after T_FAR are the empty-slot padding
+        real = starts & (events < _SURFACE_CUTOFF)
+        n_spans = jnp.sum(real.astype(jnp.int32), axis=-1)
+        dropped = jnp.maximum(n_spans - k, 0)
+        return t_in, t_out, dropped
     return t_in, t_out
 
 

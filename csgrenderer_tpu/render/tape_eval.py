@@ -43,9 +43,16 @@ def _leaf_interval(tape: CompiledTape, leaf: int, o: Array, d: Array):
     raise ValueError(f"bad leaf type {t}")
 
 
-def eval_tape_intervals(tape: CompiledTape, o: Array, d: Array):
-    """Run the postfix program; returns the root interval list ([..., K] x2)."""
+def eval_tape_intervals(
+    tape: CompiledTape, o: Array, d: Array, with_dropped: bool = False
+):
+    """Run the postfix program; returns the root interval list ([..., K] x2).
+
+    ``with_dropped=True`` additionally returns the per-ray total of interval
+    spans silently truncated by the K-slot capacity across ALL combine steps
+    (zero == the evaluation was exact for that ray)."""
     stack: list = []
+    dropped = None
     for opcode, operand in tape.ops:
         if opcode == OP_PUSH:
             enter, exit_ = _leaf_interval(tape, operand, o, d)
@@ -56,9 +63,26 @@ def eval_tape_intervals(tape: CompiledTape, o: Array, d: Array):
             op = {OP_UNION: "union", OP_INTERSECT: "intersect", OP_DIFF: "diff"}[
                 opcode
             ]
-            stack.append(interval.combine(left, right, op=op, k=tape.k))
+            if with_dropped:
+                t_in, t_out, d_ = interval.combine(
+                    left, right, op=op, k=tape.k, with_dropped=True
+                )
+                dropped = d_ if dropped is None else dropped + d_
+                stack.append((t_in, t_out))
+            else:
+                stack.append(interval.combine(left, right, op=op, k=tape.k))
     (result,) = stack
+    if with_dropped:
+        if dropped is None:  # single-leaf tape: nothing can overflow
+            dropped = jnp.zeros(o.shape[:-1], jnp.int32)
+        return result, dropped
     return result
+
+
+def tape_dropped_spans(tape: CompiledTape, o: Array, d: Array) -> Array:
+    """Per-ray count of CSG spans truncated by the K-slot capacity."""
+    _, dropped = eval_tape_intervals(tape, o, d, with_dropped=True)
+    return dropped
 
 
 def _leaf_surface_score_and_normal(tape: CompiledTape, leaf: int, p_world: Array):

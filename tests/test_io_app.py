@@ -138,3 +138,23 @@ def test_accumulator_ray_counter_survives_int32_overflow(tmp_path):
     checkpoint.save(p, acc, note=1)
     acc2, _ = checkpoint.load(p)
     assert acc2.rays_traced == 2 * per_call
+
+
+def test_debug_view_1_entry_point():
+    """ep_debug_view_1 parity (ubershader1.frag:132-137): color=(st.x,st.y,0),
+    selectable as a constructor arg instead of a shader edit."""
+    from csgrenderer_tpu.app.renderers import WololoRenderer
+    from csgrenderer_tpu.utils.config import RenderConfig
+
+    r = WololoRenderer(
+        RenderConfig(width=64, height=32, spp=1, sky="wololo"),
+        entry_point="debug_view_1",
+    )
+    img = np.asarray(r.draw_frame(0.0)).astype(np.float64) / 255
+    # st.x grows left->right; st.y = 1 - y/H grows bottom->top; blue = 0
+    assert img[:, :, 2].max() == 0
+    assert img[16, 60, 0] > img[16, 3, 0]  # st.x gradient
+    assert img[2, 32, 1] > img[30, 32, 1]  # y-flip: top row has st.y ~ 1
+    center = img[16, 32]
+    np.testing.assert_allclose(center[0], (32 + 0.5) / 64, atol=0.01)
+    np.testing.assert_allclose(center[1], 1 - (16 + 0.5) / 32, atol=0.01)

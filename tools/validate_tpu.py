@@ -1,40 +1,272 @@
-"""One-command hardware validation: all five configs on the real TPU.
+"""Hardware fidelity validation: the BASELINE 1e-3 RMSE criterion, proven.
 
-Renders each golden config through the production path (Pallas kernels where
-applicable) on the attached accelerator and compares against the committed
-CPU-rendered goldens. Pass criteria are looser than the CPU golden tests
-(1e-3): kernel-vs-reference float-grouping and TPU transcendental-ulp
-differences flip a small fraction of sample paths, bounded here at
-RMSE <= 0.02 with <= 1.5% strongly-divergent pixels.
+BASELINE.json's north star: production (Pallas kernel) renders must match
+the reference implementation within 1e-3 RMSE. At golden-image sample
+counts that is unprovable — kernel-vs-reference float-grouping flips a few
+sample PATHS, and at low spp each flipped path leaves a visible divergent
+pixel that is pure Monte-Carlo noise, not bias (round-1 verdict item 3).
+This tool runs the CONVERGED-comparison protocol instead:
 
-Run: python tools/validate_tpu.py
+1. **Noise certificate**: render each config twice through the kernel with
+   independent seeds and raise spp until the per-image MC noise
+   (rmse(seedA, seedB)/sqrt(2), gamma-2 tonemapped floats, no uint8
+   quantization — uint8 alone injects ~1.1e-3) is <= 3e-4, well under the
+   1e-3 budget.
+2. **Fidelity**: at that spp, assert rmse(kernel, jnp reference) <= 1e-3
+   with the SAME seed — the strictest reading of "matching reference
+   renders": identical RNG streams, so the only differences are the
+   tie-flipped paths and table quantization, which must be MC-insignificant.
+
+Both sides run on the attached accelerator (the jnp reference is the same
+algorithm on any backend; the committed CPU goldens remain the regression
+net in tests/test_golden.py). Resolutions are reduced — RMSE is per-pixel
+and resolution-independent — so the jnp side stays affordable.
+
+Run: python tools/validate_tpu.py           (~10-15 min on the TPU)
+     python tools/validate_tpu.py --quick   (golden regression only, loose)
 """
 
+import argparse
+import functools
 import pathlib
 import sys
+import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
-from csgrenderer_tpu.app.renderers import PathTraceRenderer, WololoRenderer
-from csgrenderer_tpu.camera import Camera
-from csgrenderer_tpu.io import image
-from csgrenderer_tpu.models import (
-    animated_csg_scene,
-    config3_csg_scene,
-    rtiow_final_scene,
-    two_spheres_scene,
-)
-from csgrenderer_tpu.utils.config import RenderConfig
-
-GOLDEN_DIR = pathlib.Path(__file__).resolve().parent.parent / "tests" / "goldens"
-
-RMSE_TOL = 0.02
-FRAC_TOL = 0.015
+NOISE_TARGET = 3e-4  # spp doubles until the MC noise reaches this...
+NOISE_BUDGET = 1e-3  # ...and must at least fit the 1e-3 budget to pass
+RMSE_TOL = 1e-3  # the BASELINE criterion
+MAX_SEGMENTS = 1.8e9  # int32 ray-counter headroom per kernel call
 
 
-def configs():
+def _tonemapped(radiance):
+    from csgrenderer_tpu.render import tonemap
+
+    return np.asarray(tonemap.tonemap(radiance, gamma=2.0), np.float64)
+
+
+def _rmse(a, b):
+    return float(np.sqrt(np.mean((a - b) ** 2)))
+
+
+class Config:
+    def __init__(self, name, kernel_fn, ref_fn, w, h, spp0, max_spp,
+                 bounces, ref_chunk=4096):
+        """kernel_fn/ref_fn: (seed, spp, sample_offset) -> linear radiance.
+
+        ``ref_chunk``: max spp per reference call — the slow jnp reference
+        must be split into bounded device executions (the axon tunnel kills
+        single executions running for minutes), accumulated host-side via
+        disjoint sample_offsets (which composes exactly: counter-based RNG).
+        """
+        self.name = name
+        self.kernel_fn = kernel_fn
+        self.ref_fn = ref_fn
+        self.w, self.h = w, h
+        self.spp0, self.max_spp = spp0, max_spp
+        self.bounces = bounces
+        self.ref_chunk = ref_chunk
+
+
+def _chunked(fn, seed, spp, chunk):
+    if spp <= chunk:
+        return np.asarray(fn(seed, spp), np.float64)
+    acc = None
+    off = 0
+    while off < spp:
+        n = min(chunk, spp - off)
+        img = np.asarray(fn(seed, n, off), np.float64) * (n / spp)
+        acc = img if acc is None else acc + img
+        off += n
+    return acc
+
+
+def build_configs():
+    from csgrenderer_tpu.camera import Camera
+    from csgrenderer_tpu.kernels import (
+        render_image_pallas,
+        render_image_tape_pallas,
+    )
+    from csgrenderer_tpu.models import (
+        animated_csg_scene,
+        config3_csg_scene,
+        rtiow_final_scene,
+        two_spheres_scene,
+    )
+    from csgrenderer_tpu.render import render_image, tape_hit_adapter
+
+    cfgs = []
+
+    # config 2: two diffuse spheres (brute megakernel path)
+    s2 = two_spheres_scene()
+    cam2 = Camera.look_at((0, 0, 0), (0, 0, -1), vfov_degrees=90.0,
+                          aspect_ratio=96 / 54)
+    def c2_kernel(seed, spp, off=0):
+        img, _ = render_image_pallas(
+            s2, cam2, 96, 54, spp=spp, max_bounces=8, seed=seed,
+            sample_offset=off)
+        return img
+
+    def c2_ref(seed, spp, off=0):
+        img, _ = render_image(
+            s2.nearest_hit, cam2, 96, 54, spp=spp, max_bounces=8,
+            seed=seed, sample_offset=off)
+        return img
+
+    cfgs.append(Config("config2_two_spheres", c2_kernel, c2_ref,
+                       96, 54, 4096, 65536, 8, ref_chunk=65536))
+
+    # config 3: CSG boolean (tape kernel)
+    t3 = config3_csg_scene().compile(k=2)
+    cam3 = Camera.look_at((3, 2.5, 4), (0.1, 0, 0), vfov_degrees=35.0,
+                          aspect_ratio=1.0)
+    def c3_kernel(seed, spp, off=0):
+        img, _ = render_image_tape_pallas(
+            t3, cam3, 96, 96, spp=spp, max_bounces=6, seed=seed,
+            sample_offset=off)
+        return img
+
+    def c3_ref(seed, spp, off=0):
+        hit = functools.partial(tape_hit_adapter, t3)
+        img, _ = render_image(
+            hit, cam3, 96, 96, spp=spp, max_bounces=6, seed=seed,
+            sample_offset=off)
+        return img
+
+    cfgs.append(Config("config3_csg_boolean", c3_kernel, c3_ref,
+                       96, 96, 2048, 32768, 6, ref_chunk=4096))
+
+    # config 4: RTIOW final scene (grid-worklist megakernel — the headline)
+    s4 = rtiow_final_scene()
+    cam4 = Camera.look_at((13, 2, 3), (0, 0, 0), vfov_degrees=20.0,
+                          aspect_ratio=128 / 72, aperture=0.1,
+                          focus_dist=10.0)
+    def c4_kernel(seed, spp, off=0):
+        img, _ = render_image_pallas(
+            s4, cam4, 128, 72, spp=spp, max_bounces=8, seed=seed,
+            lens=True, sample_offset=off)
+        return img
+
+    def c4_ref(seed, spp, off=0):
+        img, _ = render_image(
+            s4.nearest_hit, cam4, 128, 72, spp=spp, max_bounces=8,
+            seed=seed, lens=True, sample_offset=off)
+        return img
+
+    cfgs.append(Config("config4_rtiow_final", c4_kernel, c4_ref,
+                       128, 72, 8192, 32768, 8, ref_chunk=2048))
+
+    # config 5: deep animated CSG at t=1.0 (tape kernel)
+    g5, animate5 = animated_csg_scene(n_levels=8)
+    t5 = animate5(g5.compile(k=4), 1.0)
+    cam5 = Camera.look_at((0, 2.0, 7.0), (0.5, 0, 0), vfov_degrees=40.0,
+                          aspect_ratio=1.0)
+    def c5_kernel(seed, spp, off=0):
+        img, _ = render_image_tape_pallas(
+            t5, cam5, 96, 96, spp=spp, max_bounces=5, seed=seed,
+            sample_offset=off)
+        return img
+
+    def c5_ref(seed, spp, off=0):
+        hit = functools.partial(tape_hit_adapter, t5)
+        img, _ = render_image(
+            hit, cam5, 96, 96, spp=spp, max_bounces=5, seed=seed,
+            sample_offset=off)
+        return img
+
+    cfgs.append(Config("config5_animated_csg", c5_kernel, c5_ref,
+                       96, 96, 4096, 32768, 5, ref_chunk=2048))
+
+    return cfgs
+
+
+def validate_milestone01() -> bool:
+    """Config 1 is DETERMINISTIC (spp=1, fixed raygen): its production
+    path is the bit-faithful jnp milestone-01 shader re-expression, so the
+    1e-3 criterion is provable directly against the committed golden with
+    zero MC noise."""
+    from csgrenderer_tpu.app.renderers import WololoRenderer
+    from csgrenderer_tpu.io import image as image_io
+    from csgrenderer_tpu.utils.config import RenderConfig
+
+    golden_dir = (
+        pathlib.Path(__file__).resolve().parent.parent / "tests" / "goldens"
+    )
+    r = WololoRenderer(RenderConfig(width=320, height=240, spp=1, sky="wololo"))
+    fresh = np.asarray(r.draw_frame(0.25)).astype(np.float64) / 255
+    golden = (
+        image_io.read_png(golden_dir / "config1_milestone01.png").astype(
+            np.float64
+        )
+        / 255
+    )
+    err = _rmse(fresh, golden)
+    ok = err <= RMSE_TOL
+    print(
+        f"[csgr] config1_milestone01: deterministic, "
+        f"rmse_vs_reference={err:.2e} {'OK' if ok else 'FAIL'}"
+    )
+    return ok
+
+
+def validate_converged(cfg: Config) -> bool:
+    # phase 1: noise certificate (kernel, two independent seeds)
+    spp = cfg.spp0
+    while True:
+        a = _tonemapped(cfg.kernel_fn(11, spp))
+        b = _tonemapped(cfg.kernel_fn(1211, spp))
+        noise = _rmse(a, b) / np.sqrt(2.0)
+        next_spp = spp * 2
+        over_budget = (
+            cfg.w * cfg.h * next_spp * (cfg.bounces * 0.6) > MAX_SEGMENTS
+        )
+        if noise <= NOISE_TARGET or next_spp > cfg.max_spp or over_budget:
+            break
+        spp = next_spp
+    # phase 2: fidelity vs the jnp reference, same seed/spp
+    t0 = time.time()
+    from csgrenderer_tpu.render import tonemap as _tm
+    import jax.numpy as _jnp
+
+    ref_lin = _chunked(cfg.ref_fn, 11, spp, cfg.ref_chunk)
+    ref = np.asarray(_tm.tonemap(_jnp.asarray(ref_lin, _jnp.float32),
+                                 gamma=2.0), np.float64)
+    ref_sec = time.time() - t0
+    err = _rmse(a, ref)
+    # same-seed comparison: identical RNG streams, so MC noise largely
+    # cancels and err directly measures implementation divergence; noise
+    # must still fit the 1e-3 budget for the images to count as converged
+    ok = noise <= NOISE_BUDGET and err <= RMSE_TOL
+    print(
+        f"[csgr] {cfg.name}: spp={spp} noise={noise:.2e} "
+        f"rmse_vs_reference={err:.2e} (ref render {ref_sec:.0f}s) "
+        f"{'OK' if ok else 'FAIL'}"
+    )
+    return ok
+
+
+def validate_goldens() -> bool:
+    """Quick regression vs the committed CPU goldens (low spp: bounded by
+    MC path-flip noise, NOT the fidelity criterion — see module docstring).
+    """
+    from csgrenderer_tpu.io import image as image_io
+
+    golden_dir = (
+        pathlib.Path(__file__).resolve().parent.parent / "tests" / "goldens"
+    )
+    from csgrenderer_tpu.app.renderers import PathTraceRenderer, WololoRenderer
+    from csgrenderer_tpu.camera import Camera
+    from csgrenderer_tpu.models import (
+        animated_csg_scene,
+        config3_csg_scene,
+        rtiow_final_scene,
+        two_spheres_scene,
+    )
+    from csgrenderer_tpu.utils.config import RenderConfig
+
     def c1():
         r = WololoRenderer(RenderConfig(width=320, height=240, spp=1, sky="wololo"))
         return np.asarray(r.draw_frame(0.25))
@@ -52,8 +284,7 @@ def configs():
         cam = Camera.look_at((3, 2.5, 4), (0.1, 0, 0), vfov_degrees=35.0,
                              aspect_ratio=1.0)
         r = PathTraceRenderer(
-            config3_csg_scene().compile(),
-            cam,
+            config3_csg_scene().compile(), cam,
             RenderConfig(width=128, height=128, spp=8, max_bounces=6, seed=3),
         )
         return np.asarray(r.draw_frame(0.0))
@@ -80,34 +311,59 @@ def configs():
         )
         return np.asarray(r.draw_frame(1.0))
 
-    return {
-        "config1_milestone01": c1,
-        "config2_two_spheres": c2,
-        "config3_csg_boolean": c3,
-        "config4_rtiow_final": c4,
+    ok = True
+    for name, fn in {
+        "config1_milestone01": c1, "config2_two_spheres": c2,
+        "config3_csg_boolean": c3, "config4_rtiow_final": c4,
         "config5_animated_csg": c5,
-    }
+    }.items():
+        golden = (
+            image_io.read_png(golden_dir / f"{name}.png").astype(np.float64)
+            / 255
+        )
+        fresh = fn().astype(np.float64) / 255
+        err = _rmse(fresh, golden)
+        frac = float((np.abs(fresh - golden).max(axis=-1) > 0.1).mean())
+        good = err <= 0.02 and frac <= 0.015
+        ok &= good
+        print(f"[csgr] golden {name}: rmse={err:.4f} divergent={frac:.3%} "
+              f"{'OK' if good else 'FAIL'}")
+    return ok
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="golden regression only (loose, fast)")
+    ap.add_argument("--only", default=None,
+                    help="comma list of config substrings to run")
+    args = ap.parse_args()
+
     import jax
 
     platform = jax.devices()[0].platform
     print(f"[csgr] validating on {jax.devices()} (platform={platform})")
-    failures = 0
-    for name, fn in configs().items():
-        golden = image.read_png(GOLDEN_DIR / f"{name}.png").astype(np.float64) / 255
-        fresh = fn().astype(np.float64) / 255
-        err = float(np.sqrt(np.mean((fresh - golden) ** 2)))
-        frac = float((np.abs(fresh - golden).max(axis=-1) > 0.1).mean())
-        ok = err <= RMSE_TOL and frac <= FRAC_TOL
-        failures += 0 if ok else 1
-        print(
-            f"[csgr] {name}: rmse={err:.4f} divergent={frac:.3%} "
-            f"{'OK' if ok else 'FAIL'}"
+
+    def selected(name):
+        return args.only is None or any(
+            s in name for s in args.only.split(",")
         )
-    print(f"[csgr] hardware validation {'PASSED' if not failures else 'FAILED'}")
-    return 1 if failures else 0
+
+    if args.quick:
+        ok = validate_goldens()
+    else:
+        ok = validate_milestone01() if selected("config1") else True
+        for cfg in build_configs():
+            if not selected(cfg.name):
+                continue
+            try:
+                ok &= validate_converged(cfg)
+            except Exception as e:  # keep going: tunnel hiccups happen
+                print(f"[csgr] {cfg.name}: CRASH {type(e).__name__}: "
+                      f"{str(e)[:200]}")
+                ok = False
+    print(f"[csgr] hardware validation {'PASSED' if ok else 'FAILED'}")
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
