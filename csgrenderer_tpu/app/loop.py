@@ -60,6 +60,8 @@ class App:
         max_seconds: Optional[float] = None,
         time_fn: Callable[[], float] = time.monotonic,
         frames_in_flight: int = 1,
+        readback: str = "full",
+        fence_stride: int = 1,
     ) -> bool:
         """Fixed-timestep loop (app.c:74-214 semantics, headless).
 
@@ -69,6 +71,17 @@ class App:
         readback/host work — the working version of the reference's
         2-frames-in-flight sync objects that its per-frame vkQueueWaitIdle
         neutralized (renderer.c:51, 1742-1798, 2212).
+
+        ``readback`` (pipelined mode only):
+        - "full": transfer each frame to host numpy before the sink (the
+          default; what an encoder/disk sink needs).
+        - "fence": hand the sink the DEVICE array and only synchronize with
+          a 1-element readback every ``fence_stride``-th frame — the
+          headless analog of presenting on-device without a host copy
+          (the reference's present never copies to host either). Use when
+          the device->host link is high-latency (the axon tunnel costs
+          ~34 ms per round-trip regardless of size) and the consumer can
+          sample frames (preview ring, periodic encode).
 
         Returns True on clean completion (init returning False aborts, like
         the reference's ``wo_app_run`` failure path).
@@ -102,11 +115,24 @@ class App:
             idx, image, rays = entry
             import numpy as np
 
-            host_img = np.asarray(image)  # blocks until the frame is ready
+            if readback == "full":
+                out = np.asarray(image)  # blocks until the frame is ready
+            else:  # "fence": 1-element sync every fence_stride frames
+                if idx % max(fence_stride, 1) == 0:
+                    np.asarray(image[0, 0])
+                out = image  # device array: sink samples/keeps references
             if self.frame_sink is not None:
-                self.frame_sink(idx, host_img)
+                self.frame_sink(idx, out)
+            # a device-scalar rays readback would itself cost a tunnel
+            # round-trip: only force it when we already synced
+            if isinstance(rays, int):
+                n_rays = rays
+            elif readback == "full" or idx % max(fence_stride, 1) == 0:
+                n_rays = int(rays)
+            else:
+                n_rays = 0
             now2 = time_fn()
-            self.stats.frame(now2 - last_consume, rays=int(rays), now=now2)
+            self.stats.frame(now2 - last_consume, rays=n_rays, now=now2)
             last_consume = now2
 
         try:

@@ -137,6 +137,159 @@ def scatter_planes(kind, param, alb, d, n, front, u0, u1, u2):
     )
 
 
+def camera_ray_planes(cam, px, py, pix_u, s_plane, seed, inv_w, inv_h, lens):
+    """Primary-ray planes for per-lane sample ids — the shared raygen of all
+    wavefront kernels. ``cam`` is the unpacked 19-scalar camera tuple."""
+    (cox, coy, coz, llx, lly, llz, hx, hy, hz, vx, vy, vz,
+     ux, uy, uz, vvx, vvy, vvz, lens_radius) = cam
+    u0, u1, u2, u3 = pcg4d_planes(
+        pix_u, s_plane,
+        jnp.broadcast_to(jnp.uint32(0xA5A5A5A5), pix_u.shape),
+        jnp.broadcast_to(seed.astype(jnp.uint32), pix_u.shape),
+    )
+    st_x = (px + u0) * inv_w
+    st_y = 1.0 - (py + u1) * inv_h
+    if lens:
+        lr = jnp.sqrt(u2)
+        lphi = jnp.float32(2.0 * np.pi) * u3
+        rd0 = lens_radius * lr * jnp.cos(lphi)
+        rd1 = lens_radius * lr * jnp.sin(lphi)
+        offx = rd0 * ux + rd1 * vvx
+        offy = rd0 * uy + rd1 * vvy
+        offz = rd0 * uz + rd1 * vvz
+    else:
+        offx = offy = offz = jnp.zeros_like(st_x)
+    o = (cox + offx, coy + offy, coz + offz)
+    d = (
+        llx + st_x * hx + st_y * vx - cox - offx,
+        lly + st_x * hy + st_y * vy - coy - offy,
+        llz + st_x * hz + st_y * vz - coz - offz,
+    )
+    return o, d
+
+
+def shade_and_advance(
+    mask, t, hit, n, front, kind, param, alb,
+    o, d, thr, rad, pix_u, cur_s, b_plane, seed, sky,
+):
+    """The shared per-segment shading tail of every wavefront kernel:
+    RNG -> material scatter -> sky/emission accumulation -> path advance.
+
+    ``mask``: which lanes shade this wave (active lanes in the classic loop,
+    finished-marching lanes in the fused-DDA loop). ``n`` must already be
+    the unit shading normal opposing d; ``front`` the solid-level
+    front-face flag. Returns (o, d, thr, rad, term) with updates applied
+    only under ``mask & hit`` / ``mask & ~hit`` as appropriate.
+    """
+    ox, oy, oz = o
+    dx, dy, dz = d
+    tr, tg, tb = thr
+    rr, rg, rb = rad
+
+    u0, u1, u2, _u3 = pcg4d_planes(
+        pix_u, cur_s, b_plane,
+        jnp.broadcast_to(seed.astype(jnp.uint32), cur_s.shape),
+    )
+    (ndx, ndy, ndz), (atr, atg, atb), (emr, emg, emb), term, ud = (
+        scatter_planes(kind, param, alb, (dx, dy, dz), n, front, u0, u1, u2)
+    )
+    skr, skg, skb = sky_planes(ud, sky)
+
+    t_safe = jnp.where(hit, t, 1.0)
+    hx_ = ox + t_safe * dx
+    hy_ = oy + t_safe * dy
+    hz_ = oz + t_safe * dz
+
+    missed = mask & ~hit
+    hit_m = mask & hit
+    rr = rr + jnp.where(missed, tr * skr, 0.0)
+    rg = rg + jnp.where(missed, tg * skg, 0.0)
+    rb = rb + jnp.where(missed, tb * skb, 0.0)
+    rr = rr + jnp.where(hit_m, tr * emr, 0.0)
+    rg = rg + jnp.where(hit_m, tg * emg, 0.0)
+    rb = rb + jnp.where(hit_m, tb * emb, 0.0)
+    tr = jnp.where(hit_m, tr * atr, tr)
+    tg = jnp.where(hit_m, tg * atg, tg)
+    tb = jnp.where(hit_m, tb * atb, tb)
+    ox = jnp.where(hit_m, hx_, ox)
+    oy = jnp.where(hit_m, hy_, oy)
+    oz = jnp.where(hit_m, hz_, oz)
+    dx = jnp.where(hit_m, ndx, dx)
+    dy = jnp.where(hit_m, ndy, dy)
+    dz = jnp.where(hit_m, ndz, dz)
+    return (
+        (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), (rr, rg, rb), term,
+    )
+
+
+def classic_wavefront(
+    bounce_step, camera_rays, spp, max_bounces, in_image, sample_offset_u,
+    extra0=None,
+):
+    """The classic per-lane wavefront loop shared by the brute megakernel
+    and the CSG tape kernel: every lane owns one pixel; a lane whose path
+    terminated immediately regenerates its pixel's next camera sample.
+
+    ``bounce_step(b_plane_u32, s_plane_u32, o, d, thr, rad, active_i, rays,
+    extra) -> (o, d, thr, rad, active_i, rays, extra)`` runs one bounce for
+    the whole tile. ``extra`` is an optional pytree of per-lane accumulators
+    (e.g. the tape kernel's overflow counter). Returns the final state dict.
+    """
+    shape = in_image.shape
+    zero = jnp.zeros(shape, jnp.float32)
+    zero_i = jnp.zeros(shape, jnp.int32)
+    state0 = dict(
+        o=(zero, zero, zero),
+        d=(zero, zero, zero),
+        thr=(zero, zero, zero),
+        rad=(zero, zero, zero),
+        active=zero_i,
+        b_ctr=zero_i,
+        cur_s=jnp.zeros(shape, jnp.uint32),
+        done=jnp.where(in_image, 0, spp).astype(jnp.int32),
+        rays=zero_i,
+    )
+    if extra0 is not None:
+        state0["extra"] = extra0
+
+    def wave_cond(st):
+        has_work = (st["active"] > 0) | (st["done"] < spp)
+        return jnp.max(has_work.astype(jnp.int32)) > 0
+
+    def wave_step(st):
+        regen = (st["active"] == 0) & (st["done"] < spp)
+        s_new = st["done"].astype(jnp.uint32) + sample_offset_u
+        go, gd = camera_rays(s_new)
+
+        def sel(new, old):
+            return jnp.where(regen, new, old)
+
+        o = tuple(sel(g, v) for g, v in zip(go, st["o"]))
+        d = tuple(sel(g, v) for g, v in zip(gd, st["d"]))
+        one = jnp.ones_like(go[0])
+        thr = tuple(sel(one, v) for v in st["thr"])
+        cur_s = jnp.where(regen, s_new, st["cur_s"])
+        b_ctr = jnp.where(regen, 0, st["b_ctr"])
+        done = st["done"] + regen.astype(jnp.int32)
+        active_i = jnp.where(regen, 1, st["active"])
+
+        (o, d, thr, rad, active_i, rays, extra) = bounce_step(
+            b_ctr.astype(jnp.uint32), cur_s, o, d, thr, st["rad"],
+            active_i, st["rays"], st.get("extra"),
+        )
+        b_ctr = b_ctr + 1
+        active_i = jnp.where(b_ctr >= max_bounces, 0, active_i)
+        out = dict(
+            o=o, d=d, thr=thr, rad=rad, active=active_i, b_ctr=b_ctr,
+            cur_s=cur_s, done=done, rays=rays,
+        )
+        if extra is not None:
+            out["extra"] = extra
+        return out
+
+    return jax.lax.while_loop(wave_cond, wave_step, state0)
+
+
 def sky_planes(ud, mode: str):
     """Background radiance planes from unit direction planes."""
     udx, udy, udz = ud

@@ -62,10 +62,10 @@ from .common import (
     TILE,
     TILE_LANES,
     TILE_ROWS,
+    camera_ray_planes,
+    classic_wavefront,
     dot3 as _dot3,
-    pcg4d_planes as _pcg4d_planes,
-    scatter_planes,
-    sky_planes,
+    shade_and_advance,
 )
 from .worklist import grid_setup, grid_step, pack_grid
 
@@ -275,9 +275,12 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
             t_pl = jnp.concatenate(t_rows, axis=0)  # [8,128]
             return t_pl, _unpack_attr_rows(attr_rows)
 
-        def bounce_step(b, state, s):
-            (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
-             active_i, rays) = state
+        def bounce_step(b, s, o, d, thr, rad, active_i, rays, extra):
+            """One bounce for the whole tile (classic_wavefront callback)."""
+            ox, oy, oz = o
+            dx, dy, dz = d
+            tr, tg, tb = thr
+            rr, rg, rb = rad
             # Mosaic cannot carry i1 vectors through loop state; active
             # travels as int32 0/1 and is re-materialized as a mask here.
             active = active_i > 0
@@ -287,109 +290,52 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
             )
             hit = t_pl < BIG_CUT
             t_safe = jnp.where(hit, t_pl, 1.0)
-            hx_ = ox + t_safe * dx
-            hy_ = oy + t_safe * dy
-            hz_ = oz + t_safe * dz
-            onx = (hx_ - cx) * inv_r
-            ony = (hy_ - cy) * inv_r
-            onz = (hz_ - cz) * inv_r
-            d_dot_on = _dot3(dx, dy, dz, onx, ony, onz)
-            front = d_dot_on < 0.0
+            onx = (ox + t_safe * dx - cx) * inv_r
+            ony = (oy + t_safe * dy - cy) * inv_r
+            onz = (oz + t_safe * dz - cz) * inv_r
+            front = _dot3(dx, dy, dz, onx, ony, onz) < 0.0
             sgn = jnp.where(front, 1.0, -1.0)
-            nx, ny, nz = onx * sgn, ony * sgn, onz * sgn
+            n = (onx * sgn, ony * sgn, onz * sgn)
 
-            # RNG — b and s are per-lane uint32 planes (each lane tracks its
-            # own sample/bounce position under wavefront regeneration)
-            u0, u1, u2, _u3 = _pcg4d_planes(
-                pix_u, s, b, jnp.broadcast_to(seed.astype(jnp.uint32), s.shape)
+            (o2, d2, thr2, rad2, term) = shade_and_advance(
+                active, t_pl, hit, n, front, kind, param, (ar, ag, ab),
+                (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), (rr, rg, rb),
+                pix_u, s, b, seed, sky,
             )
-            (ndx, ndy, ndz), (atr, atg, atb), (emr, emg, emb), term, ud = (
-                scatter_planes(
-                    kind, param, (ar, ag, ab), (dx, dy, dz), (nx, ny, nz),
-                    front, u0, u1, u2,
-                )
-            )
-            skr, skg, skb = sky_planes(ud, sky)
-
-            missed = active & ~hit
-            hit_active = active & hit
-            rr = rr + jnp.where(missed, tr * skr, 0.0)
-            rg = rg + jnp.where(missed, tg * skg, 0.0)
-            rb = rb + jnp.where(missed, tb * skb, 0.0)
-            rr = rr + jnp.where(hit_active, tr * emr, 0.0)
-            rg = rg + jnp.where(hit_active, tg * emg, 0.0)
-            rb = rb + jnp.where(hit_active, tb * emb, 0.0)
-            tr = jnp.where(hit_active, tr * atr, tr)
-            tg = jnp.where(hit_active, tg * atg, tg)
-            tb = jnp.where(hit_active, tb * atb, tb)
-
-            ox = jnp.where(hit_active, hx_, ox)
-            oy = jnp.where(hit_active, hy_, oy)
-            oz = jnp.where(hit_active, hz_, oz)
-            dx = jnp.where(hit_active, ndx, dx)
-            dy = jnp.where(hit_active, ndy, dy)
-            dz = jnp.where(hit_active, ndz, dz)
+            (ox, oy, oz), (dx, dy, dz) = o2, d2
+            (tr, tg, tb), (rr, rg, rb) = thr2, rad2
 
             rays = rays + active_i
-            active_i = (hit_active & ~term).astype(jnp.int32)
-            return (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
-                    active_i, rays)
+            active_i = (active & hit & ~term).astype(jnp.int32)
+            return (
+                (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), (rr, rg, rb),
+                active_i, rays, extra,
+            )
 
         def camera_rays(s_plane, px=px, py=py, pix_u=pix_u):
             """Primary rays for per-lane sample ids ``s_plane`` (uint32)."""
-            u0, u1, u2, u3 = _pcg4d_planes(
-                pix_u, s_plane,
-                jnp.broadcast_to(jnp.uint32(0xA5A5A5A5), pix_u.shape),
-                jnp.broadcast_to(seed.astype(jnp.uint32), pix_u.shape),
+            return camera_ray_planes(
+                cam[:19], px, py, pix_u, s_plane, seed, inv_w, inv_h, lens
             )
-            st_x = (px + u0) * inv_w
-            st_y = 1.0 - (py + u1) * inv_h
-            if lens:
-                lr = jnp.sqrt(u2)
-                lphi = jnp.float32(2.0 * np.pi) * u3
-                rd0 = lens_radius * lr * jnp.cos(lphi)
-                rd1 = lens_radius * lr * jnp.sin(lphi)
-                offx = rd0 * ux + rd1 * vvx
-                offy = rd0 * uy + rd1 * vvy
-                offz = rd0 * uz + rd1 * vvz
-            else:
-                offx = offy = offz = jnp.zeros_like(st_x)
-            gox = cox + offx
-            goy = coy + offy
-            goz = coz + offz
-            gdx = llx + st_x * hx + st_y * vx - cox - offx
-            gdy = lly + st_x * hy + st_y * vy - coy - offy
-            gdz = llz + st_x * hz + st_y * vz - coz - offz
-            return gox, goy, goz, gdx, gdy, gdz
 
-        # The sample loop lives in the GRID (n_tiles, spp) — the canonical
-        # Mosaic reduction shape with revolving output accumulation — and the
-        # --- wavefront regeneration (SURVEY §7 hard part #2, TPU form) ---
-        # Every lane owns one pixel. Each wave: lanes whose path terminated
-        # immediately start that pixel's NEXT sample, so occupancy stays near
-        # 100% instead of draining to the longest path per sample. The wave
-        # loop is one while_loop over "any lane still has work".
         zero = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.float32)
         zero_i = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32)
         sample_offset_u = sample_offset.astype(jnp.uint32)
 
-        state0 = dict(
-            o=(zero, zero, zero),
-            d=(zero, zero, zero),
-            thr=(zero, zero, zero),
-            rad=(zero, zero, zero),
-            active=zero_i,
-            b_ctr=zero_i,  # per-lane bounce index within its current sample
-            cur_s=jnp.zeros((TILE_ROWS, TILE_LANES), jnp.uint32),
-            done=jnp.where(in_image, 0, spp).astype(jnp.int32),  # samples issued
-            rays=zero_i,
-        )
         if grid_static is not None:
-            # fused-DDA extension: per-lane traversal state lives in the
-            # wave loop so one iteration = one grid cell per lane (see
-            # kernels/worklist.py module docstring for why not a nested
-            # while_loop: per-wave MAX step count ~12 vs mean 1.33)
-            state0.update(
+            # fused-DDA extension of the wavefront loop: per-lane traversal
+            # state lives in the wave loop so one iteration = one grid cell
+            # per lane (see kernels/worklist.py module docstring for why not
+            # a nested while_loop: per-wave MAX step count ~12 vs mean 1.33)
+            state0 = dict(
+                o=(zero, zero, zero),
+                d=(zero, zero, zero),
+                thr=(zero, zero, zero),
+                rad=(zero, zero, zero),
+                active=zero_i,
+                b_ctr=zero_i,
+                cur_s=jnp.zeros((TILE_ROWS, TILE_LANES), jnp.uint32),
+                rays=zero_i,
                 seg=zero_i,  # 1 -> lane needs intersect init this iteration
                 march=zero_i,
                 ix=zero_i,
@@ -429,7 +375,7 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
             py_n = (pix_new // width).astype(jnp.float32)
             pixu_n = pix_new.astype(jnp.uint32)
             pix_cur = jnp.where(regen, pixu_n, st["pix_u"])
-            gox, goy, goz, gdx, gdy, gdz = camera_rays(
+            (gox, goy, goz), (gdx, gdy, gdz) = camera_rays(
                 s_new, px=px_n, py=py_n, pix_u=pixu_n
             )
 
@@ -484,51 +430,27 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
             )
 
             # 5. lanes whose walk completed shade + scatter now (winner
-            # attrs were carried out of the walk — no gather needed)
+            # attrs were carried out of the walk — no gather needed);
+            # segment contributions accumulate into the SAMPLE-local planes
             finish = (active_i > 0) & (march == 0)
             (cx, cy, cz, inv_r, kind, param, ar, ag, ab) = attrs
             hit = t_best < BIG_CUT
             t_safe = jnp.where(hit, t_best, 1.0)
-            hx_ = ox + t_safe * dx
-            hy_ = oy + t_safe * dy
-            hz_ = oz + t_safe * dz
-            onx = (hx_ - cx) * inv_r
-            ony = (hy_ - cy) * inv_r
-            onz = (hz_ - cz) * inv_r
+            onx = (ox + t_safe * dx - cx) * inv_r
+            ony = (oy + t_safe * dy - cy) * inv_r
+            onz = (oz + t_safe * dz - cz) * inv_r
             front = _dot3(dx, dy, dz, onx, ony, onz) < 0.0
             sgn = jnp.where(front, 1.0, -1.0)
-            nx, ny, nz = onx * sgn, ony * sgn, onz * sgn
+            n = (onx * sgn, ony * sgn, onz * sgn)
 
-            u0, u1, u2, _u3 = _pcg4d_planes(
-                pix_cur, cur_s, b_ctr.astype(jnp.uint32),
-                jnp.broadcast_to(seed.astype(jnp.uint32), cur_s.shape),
+            (o2, d2, thr2, samp2, term) = shade_and_advance(
+                finish, t_best, hit, n, front, kind, param, (ar, ag, ab),
+                (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), (sr, sg, sb),
+                pix_cur, cur_s, b_ctr.astype(jnp.uint32), seed, sky,
             )
-            (ndx, ndy, ndz), (atr, atg, atb), (emr, emg, emb), term, ud = (
-                scatter_planes(
-                    kind, param, (ar, ag, ab), (dx, dy, dz), (nx, ny, nz),
-                    front, u0, u1, u2,
-                )
-            )
-            skr, skg, skb = sky_planes(ud, sky)
-
-            missed = finish & ~hit
+            (ox, oy, oz), (dx, dy, dz) = o2, d2
+            (tr, tg, tb), (sr, sg, sb) = thr2, samp2
             hit_fin = finish & hit
-            # segment contributions accumulate into the SAMPLE-local planes
-            sr = sr + jnp.where(missed, tr * skr, 0.0)
-            sg = sg + jnp.where(missed, tg * skg, 0.0)
-            sb = sb + jnp.where(missed, tb * skb, 0.0)
-            sr = sr + jnp.where(hit_fin, tr * emr, 0.0)
-            sg = sg + jnp.where(hit_fin, tg * emg, 0.0)
-            sb = sb + jnp.where(hit_fin, tb * emb, 0.0)
-            tr = jnp.where(hit_fin, tr * atr, tr)
-            tg = jnp.where(hit_fin, tg * atg, tg)
-            tb = jnp.where(hit_fin, tb * atb, tb)
-            ox = jnp.where(hit_fin, hx_, ox)
-            oy = jnp.where(hit_fin, hy_, oy)
-            oz = jnp.where(hit_fin, hz_, oz)
-            dx = jnp.where(hit_fin, ndx, dx)
-            dy = jnp.where(hit_fin, ndy, dy)
-            dz = jnp.where(hit_fin, ndz, dz)
 
             rays = st["rays"] + finish.astype(jnp.int32)
             b_ctr = b_ctr + finish.astype(jnp.int32)
@@ -570,44 +492,14 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
                 samp=(sr, sg, sb), pix_u=pix_cur,
             )
 
-        def wave_step(st):
-            # 1. regenerate dead lanes that still owe samples
-            regen = (st["active"] == 0) & (st["done"] < spp)
-            s_new = st["done"].astype(jnp.uint32) + sample_offset_u
-            gox, goy, goz, gdx, gdy, gdz = camera_rays(s_new)
-
-            def sel(new, old):
-                return jnp.where(regen, new, old)
-
-            ox, oy, oz = (sel(g, o) for g, o in zip((gox, goy, goz), st["o"]))
-            dx, dy, dz = (sel(g, o) for g, o in zip((gdx, gdy, gdz), st["d"]))
-            one = jnp.ones_like(gox)
-            tr, tg, tb = (sel(one, t) for t in st["thr"])
-            cur_s = jnp.where(regen, s_new, st["cur_s"])
-            b_ctr = jnp.where(regen, 0, st["b_ctr"])
-            done = st["done"] + regen.astype(jnp.int32)
-            active_i = jnp.where(regen, 1, st["active"])
-
-            # 2. one bounce wave
-            rr, rg, rb = st["rad"]
-            bstate = (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
-                      active_i, st["rays"])
-            bstate = bounce_step(b_ctr.astype(jnp.uint32), bstate, cur_s)
-            (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
-             active_i, rays) = bstate
-
-            # 3. advance per-lane bounce counters; the cap kills the path
-            # (dead lanes' counters tick harmlessly until regeneration)
-            b_ctr = b_ctr + 1
-            active_i = jnp.where(b_ctr >= max_bounces, 0, active_i)
-            return dict(
-                o=(ox, oy, oz), d=(dx, dy, dz), thr=(tr, tg, tb),
-                rad=(rr, rg, rb), active=active_i, b_ctr=b_ctr,
-                cur_s=cur_s, done=done, rays=rays,
+        if grid_static is None:
+            # the classic wavefront loop is the shared scaffold in common.py
+            state = classic_wavefront(
+                bounce_step, camera_rays, spp, max_bounces, in_image,
+                sample_offset_u,
             )
-
-        body = wave_step if grid_static is None else wave_step_grid
-        state = jax.lax.while_loop(wave_cond, body, state0)
+        else:
+            state = jax.lax.while_loop(wave_cond, wave_step_grid, state0)
         out_r_ref[:] = state["rad"][0]
         out_g_ref[:] = state["rad"][1]
         out_b_ref[:] = state["rad"][2]

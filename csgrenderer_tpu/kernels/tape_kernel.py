@@ -48,10 +48,11 @@ from .common import (
     TILE,
     TILE_LANES,
     TILE_ROWS,
+    camera_ray_planes,
+    classic_wavefront,
     dot3,
     pcg4d_planes,
-    scatter_planes,
-    sky_planes,
+    shade_and_advance,
 )
 
 T_FAR = np.float32(1e9)
@@ -432,112 +433,35 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix):
             )
 
         def camera_rays(s_plane):
-            u0, u1, u2, u3 = pcg4d_planes(
-                pix_u, s_plane,
-                jnp.broadcast_to(jnp.uint32(0xA5A5A5A5), pix_u.shape),
-                jnp.broadcast_to(seed.astype(jnp.uint32), pix_u.shape),
+            return camera_ray_planes(
+                cam[:19], px, py, pix_u, s_plane, seed, inv_w, inv_h, lens
             )
-            st_x = (px + u0) * inv_w
-            st_y = 1.0 - (py + u1) * inv_h
-            if lens:
-                lr = jnp.sqrt(u2)
-                lphi = jnp.float32(2.0 * np.pi) * u3
-                rd0 = lens_radius * lr * jnp.cos(lphi)
-                rd1 = lens_radius * lr * jnp.sin(lphi)
-                offx = rd0 * ux + rd1 * vvx
-                offy = rd0 * uy + rd1 * vvy
-                offz = rd0 * uz + rd1 * vvz
-            else:
-                offx = offy = offz = jnp.zeros_like(st_x)
-            return (
-                (cox + offx, coy + offy, coz + offz),
-                (
-                    llx + st_x * hx + st_y * vx - cox - offx,
-                    lly + st_x * hy + st_y * vy - coy - offy,
-                    llz + st_x * hz + st_y * vz - coz - offz,
-                ),
+
+        def bounce_step(b, s, o, d, thr, rad, active_i, rays, over):
+            """One bounce for the whole tile (classic_wavefront callback)."""
+            active = active_i > 0
+            t, hit, entering, n, kind, param, alb, dropped = tape_hit(o, d)
+            # ``entering`` is the solid-level front-face flag — correct on
+            # subtracted surfaces where a dot-product test is not
+            (o, d, thr, rad, term) = shade_and_advance(
+                active, t, hit, n, entering, kind, param, alb,
+                o, d, thr, rad, pix_u, s, b, seed, sky,
             )
+            rays = rays + active_i
+            over = over + jnp.where(active, dropped, 0)
+            active_i = (active & hit & ~term).astype(jnp.int32)
+            return o, d, thr, rad, active_i, rays, over
 
         zero_i = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32)
-        state0 = dict(
-            o=(zero, zero, zero), d=(zero, zero, zero),
-            thr=(zero, zero, zero), rad=(zero, zero, zero),
-            active=zero_i, b_ctr=zero_i,
-            cur_s=jnp.zeros((TILE_ROWS, TILE_LANES), jnp.uint32),
-            done=jnp.where(in_image, 0, spp).astype(jnp.int32),
-            rays=zero_i,
-            over=zero_i,
+        state = classic_wavefront(
+            bounce_step, camera_rays, spp, max_bounces, in_image,
+            sample_offset.astype(jnp.uint32), extra0=zero_i,
         )
-
-        def wave_cond(st):
-            has_work = (st["active"] > 0) | (st["done"] < spp)
-            return jnp.max(has_work.astype(jnp.int32)) > 0
-
-        def wave_step(st):
-            regen = (st["active"] == 0) & (st["done"] < spp)
-            s_new = st["done"].astype(jnp.uint32) + sample_offset.astype(jnp.uint32)
-            (gox, goy, goz), (gdx, gdy, gdz) = camera_rays(s_new)
-
-            def sel(new, old):
-                return jnp.where(regen, new, old)
-
-            o = tuple(sel(g, v) for g, v in zip((gox, goy, goz), st["o"]))
-            d = tuple(sel(g, v) for g, v in zip((gdx, gdy, gdz), st["d"]))
-            one = jnp.ones_like(gox)
-            thr = tuple(sel(one, v) for v in st["thr"])
-            cur_s = jnp.where(regen, s_new, st["cur_s"])
-            b_ctr = jnp.where(regen, 0, st["b_ctr"])
-            done = st["done"] + regen.astype(jnp.int32)
-            active_i = jnp.where(regen, 1, st["active"])
-            active = active_i > 0
-
-            t, hit, entering, n, kind, param, alb, dropped = tape_hit(o, d)
-            u0, u1, u2, _ = pcg4d_planes(
-                pix_u, cur_s, b_ctr.astype(jnp.uint32),
-                jnp.broadcast_to(seed.astype(jnp.uint32), pix_u.shape),
-            )
-            new_d, atten, emitted, term, ud = scatter_planes(
-                kind, param, alb, d, n, entering, u0, u1, u2
-            )
-            skr, skg, skb = sky_planes(ud, sky)
-
-            missed = active & ~hit
-            hit_active = active & hit
-            rad = list(st["rad"])
-            for i, (sk, em, at) in enumerate(
-                zip((skr, skg, skb), emitted, atten)
-            ):
-                rad[i] = rad[i] + jnp.where(missed, thr[i] * sk, 0.0)
-                rad[i] = rad[i] + jnp.where(hit_active, thr[i] * em, 0.0)
-            thr = tuple(
-                jnp.where(hit_active, th * at, th)
-                for th, at in zip(thr, atten)
-            )
-            t_safe = jnp.where(hit, t, 1.0)
-            o = tuple(
-                jnp.where(hit_active, ov + t_safe * dv, ov)
-                for ov, dv in zip(o, d)
-            )
-            d = tuple(
-                jnp.where(hit_active, nd, dv) for nd, dv in zip(new_d, d)
-            )
-            rays = st["rays"] + active_i
-            over = st["over"] + jnp.where(active, dropped, 0)
-            active_i = (hit_active & ~term).astype(jnp.int32)
-            b_ctr = b_ctr + 1
-            active_i = jnp.where(b_ctr >= max_bounces, 0, active_i)
-            return dict(
-                o=o, d=d, thr=thr, rad=tuple(rad), active=active_i,
-                b_ctr=b_ctr, cur_s=cur_s, done=done, rays=rays,
-                over=over,
-            )
-
-        state = jax.lax.while_loop(wave_cond, wave_step, state0)
         out_r_ref[:] = state["rad"][0]
         out_g_ref[:] = state["rad"][1]
         out_b_ref[:] = state["rad"][2]
         rays_ref[:] = state["rays"]
-        over_ref[:] = state["over"]
+        over_ref[:] = state["extra"]
 
     return kernel
 

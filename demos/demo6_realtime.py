@@ -37,6 +37,13 @@ def main(argv=None):
     ap.add_argument("--seconds", type=float, default=5.0)
     ap.add_argument("--frames-in-flight", type=int, default=2)
     ap.add_argument("--gif", default=None, help="write the last second as GIF")
+    ap.add_argument("--readback", default="fence", choices=["fence", "full"],
+                    help="'fence': present on-device, 1-element sync every "
+                    "--fence-stride frames (the axon tunnel costs ~34 ms "
+                    "per host round-trip, so full per-frame readback caps "
+                    "at ~6 fps regardless of render speed); 'full': host "
+                    "copy every frame")
+    ap.add_argument("--fence-stride", type=int, default=2)
     ap.add_argument("--min-fps", type=float, default=0.0,
                     help="exit nonzero if sustained fps falls below this")
     args = ap.parse_args(argv)
@@ -63,7 +70,8 @@ def main(argv=None):
 
     t0 = time.monotonic()
     ok = app.run(max_seconds=args.seconds,
-                 frames_in_flight=args.frames_in_flight)
+                 frames_in_flight=args.frames_in_flight,
+                 readback=args.readback, fence_stride=args.fence_stride)
     wall = time.monotonic() - t0
     frames = ring[-1][0] + 1 if ring else 0
     fps = frames / wall if wall > 0 else 0.0
@@ -76,7 +84,9 @@ def main(argv=None):
     if args.gif and ring:
         from csgrenderer_tpu.io.video import write_gif
 
-        frames_np = [img for _, img in list(ring)[-16:]]
+        # frames may still be device arrays under fence readback: the GIF
+        # tail is the one place that pays the full transfer, at the end
+        frames_np = [np.asarray(img) for _, img in list(ring)[-16:]]
         write_gif(args.gif, frames_np, fps=10)
         print(f"[csgr] demo6: wrote {args.gif}")
 
