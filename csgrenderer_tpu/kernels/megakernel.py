@@ -71,7 +71,7 @@ from .worklist import grid_setup, grid_step, pack_grid
 
 
 def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
-                 grid_static=None):
+                 grid_static=None, n_globals=0):
     """Build the kernel body with static config baked in.
 
     ``grid_static``: a worklist.GridStatic — when set, ``cols_ref`` holds
@@ -84,9 +84,15 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
     inv_w = np.float32(1.0 / width)
     inv_h = np.float32(1.0 / height)
 
+    # few-enough globals are brute-forced as unrolled SCALAR quadratics
+    # straight from SMEM (no padded [8,128] broadcast planes, no pad-sphere
+    # waste): ~110 ops for the RTIOW scene's 4 globals vs ~200 broadcast
+    scalar_globals = grid_static is not None and 0 < n_globals <= 16
+
     def kernel(cam_ref, meta_ref, cols_ref, attr_ref, *rest):
         if grid_static is not None:
-            (grid_ref, out_r_ref, out_g_ref, out_b_ref, rays_ref) = rest
+            (glob_ref, grid_ref, out_r_ref, out_g_ref, out_b_ref,
+             rays_ref) = rest
         else:
             (out_r_ref, out_g_ref, out_b_ref, rays_ref) = rest
         tile_idx = pl.program_id(0)
@@ -135,15 +141,16 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
         # matmuls for precision — slower than the VPU and serialized with it.)
         # rows = all spheres brute-forced here: the full scene normally, only
         # the globals when the grid worklists handle the rest.
-        shape = (cols_ref.shape[0], TILE_LANES)
-        cxb = jnp.broadcast_to(cols_ref[:, 0:1], shape)
-        cyb = jnp.broadcast_to(cols_ref[:, 1:2], shape)
-        czb = jnp.broadcast_to(cols_ref[:, 2:3], shape)
-        ccr2b = jnp.broadcast_to(cols_ref[:, 3:4], shape)
-        c2xb = jnp.broadcast_to(cols_ref[:, 4:5], shape)  # 2 * center
-        c2yb = jnp.broadcast_to(cols_ref[:, 5:6], shape)
-        c2zb = jnp.broadcast_to(cols_ref[:, 6:7], shape)
-        if grid_static is not None:
+        if not scalar_globals:
+            shape = (cols_ref.shape[0], TILE_LANES)
+            cxb = jnp.broadcast_to(cols_ref[:, 0:1], shape)
+            cyb = jnp.broadcast_to(cols_ref[:, 1:2], shape)
+            czb = jnp.broadcast_to(cols_ref[:, 2:3], shape)
+            ccr2b = jnp.broadcast_to(cols_ref[:, 3:4], shape)
+            c2xb = jnp.broadcast_to(cols_ref[:, 4:5], shape)  # 2 * center
+            c2yb = jnp.broadcast_to(cols_ref[:, 5:6], shape)
+            c2zb = jnp.broadcast_to(cols_ref[:, 6:7], shape)
+        if grid_static is not None and not scalar_globals:
             # shading attrs of the brute-forced globals, broadcast once per
             # tile: the fused wave selects the winner's row with a min-trick
             # instead of a full-scene one-hot gather (ATTR_NAMES order,
@@ -176,9 +183,50 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
                 raw[6], raw[7], raw[8], raw[9], raw[10], raw[11],
             ]  # cx, cy, cz, inv_r, kind, param, alb_r, alb_g, alb_b
 
+        def brute_globals_scalar(ox, oy, oz, dx, dy, dz, a, inv_a, eps_a):
+            """Unrolled per-sphere scalar quadratics from SMEM — whole-tile
+            planes per sphere, no padding. Globals-first ordering makes the
+            unroll index the global sphere id."""
+            big_pl = jnp.full_like(a, BIG)
+            t_best = big_pl
+            id_best = jnp.zeros_like(a)
+            attrs = [jnp.zeros_like(a) for _ in range(9)]
+            od = _dot3(ox, oy, oz, dx, dy, dz)
+            oo = _dot3(ox, oy, oz, ox, oy, oz)
+            for si in range(n_globals):
+                g = [glob_ref[si, j]
+                     for j in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)]
+                (cx_, cy_, cz_, ccr2_, c2x_, c2y_, c2z_, inv_r_, kind_,
+                 param_, ar_, ag_, ab_) = g
+                # expanded form with f64-precomputed ccr2 — the same float
+                # grouping as the broadcast brute pass (bit-identical)
+                c_dot_d = cx_ * dx + cy_ * dy + cz_ * dz
+                c2_dot_o = c2x_ * ox + c2y_ * oy + c2z_ * oz
+                half_b = od - c_dot_d
+                cterm = oo - c2_dot_o + ccr2_
+                disc = half_b * half_b - a * cterm
+                sq = jnp.sqrt(disc)  # NaN -> miss via comparison routing
+                ta0 = -half_b - sq
+                ta1 = -half_b + sq
+                ta = jnp.where(ta0 > eps_a, ta0, ta1)
+                tc = jnp.where(ta > eps_a, ta * inv_a, BIG)
+                better = tc < t_best
+                t_best = jnp.where(better, tc, t_best)
+                id_best = jnp.where(better, jnp.float32(si), id_best)
+                svals = (cx_, cy_, cz_, inv_r_, kind_, param_, ar_, ag_, ab_)
+                attrs = [
+                    jnp.where(better, sv, av)
+                    for sv, av in zip(svals, attrs)
+                ]
+            return t_best, id_best, tuple(attrs)
+
         def brute_globals(ox, oy, oz, dx, dy, dz, a, inv_a, eps_a):
             """(t, id, attrs) planes: nearest hit + winner attributes over
             the brute-force (global) sphere table."""
+            if scalar_globals:
+                return brute_globals_scalar(
+                    ox, oy, oz, dx, dy, dz, a, inv_a, eps_a
+                )
             od = _dot3(ox, oy, oz, dx, dy, dz)
             oo = _dot3(ox, oy, oz, ox, oy, oz)
             g_pad = cols_ref.shape[0]
@@ -551,6 +599,7 @@ def pack_scene(scene: SphereScene, n_brute: int | None = None) -> _PackedScene:
     cols[:nb, 8] = kind[:nb]
     cols[:nb, 9] = prm[:nb]
     cols[:nb, 10:13] = alb[:nb]
+    cols[:nb, 13] = r[:nb] * r[:nb]  # oc-form quadratic (scalar globals)
     # padding spheres: huge positive c-term constant => disc < 0 always
     cols[nb:, 3] = 1e30
 
@@ -583,7 +632,7 @@ def pack_camera(camera: Camera) -> jax.Array:
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "max_bounces", "lens", "sky", "interpret",
-        "rows", "grid_static",
+        "rows", "grid_static", "n_globals",
     ),
 )
 def _render_packed(
@@ -602,6 +651,7 @@ def _render_packed(
     row_offset,
     grid_static=None,
     grid_table=None,
+    n_globals=0,
 ):
     n_pix = width * rows  # this slab's pixel count (rows == height unsharded)
     n_tiles = pl.cdiv(n_pix, TILE)
@@ -613,7 +663,7 @@ def _render_packed(
     s_pad = packed.attr.shape[1]  # static via the array shape
     kernel = _make_kernel(
         width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
-        grid_static=grid_static,
+        grid_static=grid_static, n_globals=n_globals,
     )
     out_shape = (
         jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, TILE_LANES), jnp.float32),
@@ -632,6 +682,10 @@ def _render_packed(
     ]
     inputs = [cam_row, meta, packed.cols, packed.attr]
     if grid_static is not None:
+        # the same cols table again, as SMEM scalars for the unrolled
+        # globals quadratics
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(packed.cols)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # worklists
         inputs.append(grid_table)
     r, g, b, rays = pl.pallas_call(
@@ -697,12 +751,14 @@ def render_image_pallas(
         raise NotImplementedError("megakernel always jitters (spp>=1)")
     grid_static = None
     grid_table = None
+    n_glob = 0
     if worklist in (True, "auto"):
         packed_grid = pack_grid(scene)
         if packed_grid is not None:
             import ml_dtypes
 
             pack, scene = packed_grid  # scene reordered: globals first
+            n_glob = pack.n_globals
             grid_static = pack.static
             # bf16 storage is lossless here (every value bf16-exact) and
             # makes the in-kernel gather a native single-pass MXU matmul
@@ -723,4 +779,5 @@ def render_image_pallas(
         jnp.asarray(row_offset, jnp.int32),
         grid_static=grid_static,
         grid_table=grid_table,
+        n_globals=0 if grid_static is None else n_glob,
     )
