@@ -224,16 +224,34 @@ def shade_and_advance(
 
 def classic_wavefront(
     bounce_step, camera_rays, spp, max_bounces, in_image, sample_offset_u,
-    extra0=None,
+    extra0=None, rotate=None,
 ):
-    """The classic per-lane wavefront loop shared by the brute megakernel
-    and the CSG tape kernel: every lane owns one pixel; a lane whose path
-    terminated immediately regenerates its pixel's next camera sample.
+    """The per-lane wavefront loop shared by the brute megakernel and the
+    CSG tape kernel: every lane regenerates a new camera sample the moment
+    its path terminates.
 
-    ``bounce_step(b_plane_u32, s_plane_u32, o, d, thr, rad, active_i, rays,
-    extra) -> (o, d, thr, rad, active_i, rays, extra)`` runs one bounce for
-    the whole tile. ``extra`` is an optional pytree of per-lane accumulators
-    (e.g. the tape kernel's overflow counter). Returns the final state dict.
+    ``bounce_step(b_plane_u32, s_plane_u32, pix_u, o, d, thr, rad,
+    active_i, rays, extra) -> (o, d, thr, rad, active_i, rays, extra)``
+    runs one bounce for the whole tile. ``extra`` is an optional pytree of
+    per-lane accumulators (e.g. the tape kernel's overflow counter).
+
+    ``rotate``: dict enabling the ROTATING STRIDED sample assignment (the
+    occupancy fix measured on the megakernel: per-pixel lane binding makes
+    a tile run at its most expensive pixel's pace; rotating each lane over
+    its lane-column's 8 image-strided pixels per sample averages the load).
+    Keys:
+      - ``slot_pixel(k_plane) -> (global pixel id, valid)``
+      - ``row_ids``: [8,128] row iota (scatter destinations)
+      - ``width``: image width (px/py recompute)
+      - ``pix0``: initial pix_u plane (value-dependent, non-splat)
+      - ``done0``: initial done plane (value-dependent zeros)
+    In rotating mode ``camera_rays(s, px, py, pix_u)`` takes the per-regen
+    pixel planes, bounce_step's ``rad`` aggregates the CURRENT SAMPLE only,
+    and completed samples are scattered to their pixel's row slot with
+    masked sublane reductions; outputs are in strided-slot layout (pixel =
+    slot * n_tiles + tile — the caller un-strides).
+
+    Returns the final state dict.
     """
     shape = in_image.shape
     zero = jnp.zeros(shape, jnp.float32)
@@ -249,6 +267,10 @@ def classic_wavefront(
         done=jnp.where(in_image, 0, spp).astype(jnp.int32),
         rays=zero_i,
     )
+    if rotate is not None:
+        state0["done"] = rotate["done0"]
+        state0["samp"] = (zero, zero, zero)
+        state0["pix_u"] = rotate["pix0"]
     if extra0 is not None:
         state0["extra"] = extra0
 
@@ -257,9 +279,23 @@ def classic_wavefront(
         return jnp.max(has_work.astype(jnp.int32)) > 0
 
     def wave_step(st):
-        regen = (st["active"] == 0) & (st["done"] < spp)
+        want = (st["active"] == 0) & (st["done"] < spp)
         s_new = st["done"].astype(jnp.uint32) + sample_offset_u
-        go, gd = camera_rays(s_new)
+        if rotate is None:
+            regen = want
+            consumed = want
+            go, gd = camera_rays(s_new)
+            pix_cur = None
+        else:
+            width = rotate["width"]
+            pixg, valid = rotate["slot_pixel"](st["done"])
+            regen = want & valid
+            consumed = want  # invalid slots are consumed with no work
+            px_n = (pixg % width).astype(jnp.float32)
+            py_n = (pixg // width).astype(jnp.float32)
+            pixu_n = pixg.astype(jnp.uint32)
+            pix_cur = jnp.where(regen, pixu_n, st["pix_u"])
+            go, gd = camera_rays(s_new, px_n, py_n, pixu_n)
 
         def sel(new, old):
             return jnp.where(regen, new, old)
@@ -270,19 +306,47 @@ def classic_wavefront(
         thr = tuple(sel(one, v) for v in st["thr"])
         cur_s = jnp.where(regen, s_new, st["cur_s"])
         b_ctr = jnp.where(regen, 0, st["b_ctr"])
-        done = st["done"] + regen.astype(jnp.int32)
-        active_i = jnp.where(regen, 1, st["active"])
+        done = st["done"] + consumed.astype(jnp.int32)
+        active_entry = jnp.where(regen, 1, st["active"])
 
-        (o, d, thr, rad, active_i, rays, extra) = bounce_step(
-            b_ctr.astype(jnp.uint32), cur_s, o, d, thr, st["rad"],
-            active_i, st["rays"], st.get("extra"),
+        if rotate is None:
+            agg = st["rad"]
+        else:
+            agg = tuple(sel(jnp.zeros_like(one), v) for v in st["samp"])
+
+        (o, d, thr, agg, active_i, rays, extra) = bounce_step(
+            b_ctr.astype(jnp.uint32), cur_s, pix_cur, o, d, thr, agg,
+            active_entry, st["rays"], st.get("extra"),
         )
         b_ctr = b_ctr + 1
         active_i = jnp.where(b_ctr >= max_bounces, 0, active_i)
+
         out = dict(
-            o=o, d=d, thr=thr, rad=rad, active=active_i, b_ctr=b_ctr,
+            o=o, d=d, thr=thr, active=active_i, b_ctr=b_ctr,
             cur_s=cur_s, done=done, rays=rays,
         )
+        if rotate is None:
+            out["rad"] = agg
+        else:
+            # scatter completed samples to their pixel's row slot:
+            # dst row = (r + k) % 8, realized as masked sublane reductions
+            complete = (active_entry > 0) & (active_i == 0)
+            k_cur = (cur_s - sample_offset_u).astype(jnp.int32)
+            dst = (rotate["row_ids"] + k_cur) & 7
+            masks = [complete & (dst == t_row) for t_row in range(8)]
+            rad = []
+            for s_ch, r_ch in zip(agg, st["rad"]):
+                contrib = jnp.where(complete, s_ch, 0.0)
+                rows = [
+                    r_ch[t : t + 1]
+                    + jnp.sum(jnp.where(masks[t], contrib, 0.0),
+                              axis=0, keepdims=True)
+                    for t in range(8)
+                ]
+                rad.append(jnp.concatenate(rows, axis=0))
+            out["rad"] = tuple(rad)
+            out["samp"] = agg
+            out["pix_u"] = pix_cur
         if extra is not None:
             out["extra"] = extra
         return out

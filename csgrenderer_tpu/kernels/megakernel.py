@@ -323,7 +323,7 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
             t_pl = jnp.concatenate(t_rows, axis=0)  # [8,128]
             return t_pl, _unpack_attr_rows(attr_rows)
 
-        def bounce_step(b, s, o, d, thr, rad, active_i, rays, extra):
+        def bounce_step(b, s, pu, o, d, thr, rad, active_i, rays, extra):
             """One bounce for the whole tile (classic_wavefront callback)."""
             ox, oy, oz = o
             dx, dy, dz = d
@@ -348,7 +348,7 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
             (o2, d2, thr2, rad2, term) = shade_and_advance(
                 active, t_pl, hit, n, front, kind, param, (ar, ag, ab),
                 (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), (rr, rg, rb),
-                pix_u, s, b, seed, sky,
+                pix_u if pu is None else pu, s, b, seed, sky,
             )
             (ox, oy, oz), (dx, dy, dz) = o2, d2
             (tr, tg, tb), (rr, rg, rb) = thr2, rad2

@@ -187,7 +187,7 @@ def _merge_sorted_planes(a, b):
     return out
 
 
-def _combine(a, b, op, k, zero_plane, far_plane):
+def _combine(a, b, op, k, zero_plane, far_plane, count_dropped):
     """Boolean-combine two K-slot interval lists (lists of planes)."""
     a_in, a_out = a
     b_in, b_out = b
@@ -227,12 +227,18 @@ def _combine(a, b, op, k, zero_plane, far_plane):
     ends = [~res[j] & prev[j] for j in range(n)]
 
     # silent-truncation detector: result spans beyond the K slots are
-    # dropped by the compaction; count them (real surfaces only)
-    n_spans = None
-    for j in range(n):
-        real = (starts[j] & (events[j] < _CUT)).astype(jnp.int32)
-        n_spans = real if n_spans is None else n_spans + real
-    dropped = jnp.maximum(n_spans - k, 0)
+    # dropped by the compaction; count them (real surfaces only). Costs
+    # ~8% of tape throughput, so it is compile-time optional
+    # (with_overflow=True): the benchmark configs are PROVEN non-
+    # overflowing by tests/test_interval_overflow.py.
+    if count_dropped:
+        n_spans = None
+        for j in range(n):
+            real = (starts[j] & (events[j] < _CUT)).astype(jnp.int32)
+            n_spans = real if n_spans is None else n_spans + real
+        dropped = jnp.maximum(n_spans - k, 0)
+    else:
+        dropped = None
 
     def compact(flags):
         out = []
@@ -276,7 +282,8 @@ def _pack_program(tape: CompiledTape):
     return program, tab
 
 
-def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix):
+def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix,
+                 count_dropped=False):
     ops, leaf_types, k = program
     n_leaves = len(leaf_types)
     inv_w = np.float32(1.0 / width)
@@ -325,9 +332,11 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix):
                     right = stack.pop()
                     left = stack.pop()
                     t_in_, t_out_, d_ = _combine(
-                        left, right, opcode, k, zero, far_plane
+                        left, right, opcode, k, zero, far_plane,
+                        count_dropped,
                     )
-                    dropped = dropped + d_
+                    if d_ is not None:
+                        dropped = dropped + d_
                     stack.append((t_in_, t_out_))
             t_in, t_out = stack[0]
 
@@ -432,12 +441,16 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix):
                 kind, param, (ar, ag, ab), dropped,
             )
 
-        def camera_rays(s_plane):
+        def camera_rays(s_plane, px_=None, py_=None, pixu_=None):
             return camera_ray_planes(
-                cam[:19], px, py, pix_u, s_plane, seed, inv_w, inv_h, lens
+                cam[:19],
+                px if px_ is None else px_,
+                py if py_ is None else py_,
+                pix_u if pixu_ is None else pixu_,
+                s_plane, seed, inv_w, inv_h, lens,
             )
 
-        def bounce_step(b, s, o, d, thr, rad, active_i, rays, over):
+        def bounce_step(b, s, pu, o, d, thr, rad, active_i, rays, over):
             """One bounce for the whole tile (classic_wavefront callback)."""
             active = active_i > 0
             t, hit, entering, n, kind, param, alb, dropped = tape_hit(o, d)
@@ -445,13 +458,20 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix):
             # subtracted surfaces where a dot-product test is not
             (o, d, thr, rad, term) = shade_and_advance(
                 active, t, hit, n, entering, kind, param, alb,
-                o, d, thr, rad, pix_u, s, b, seed, sky,
+                o, d, thr, rad, pix_u if pu is None else pu, s, b, seed, sky,
             )
             rays = rays + active_i
-            over = over + jnp.where(active, dropped, 0)
+            if count_dropped:
+                over = over + jnp.where(active, dropped, 0)
             active_i = (active & hit & ~term).astype(jnp.int32)
             return o, d, thr, rad, active_i, rays, over
 
+        # NOTE: the rotating strided sample assignment (classic_wavefront's
+        # rotate=...) was MEASURED SLOWER here (config5 167 -> 114 Mrays/s):
+        # the tape evaluation runs for every lane every iteration, so CSG
+        # scenes have little per-pixel load variance to average away and
+        # the scatter/pixel-recompute overhead is pure cost. Sphere scenes
+        # (megakernel) are the opposite case. Keep the plain loop.
         zero_i = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32)
         state = classic_wavefront(
             bounce_step, camera_rays, spp, max_bounces, in_image,
@@ -470,12 +490,14 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix):
     jax.jit,
     static_argnames=(
         "program", "width", "height", "spp", "max_bounces", "lens", "sky",
+        "count_dropped",
         "interpret", "rows",
     ),
 )
 def _render_tape_packed(
     program, leaf_tab, cam_row, width, height, spp, max_bounces,
     seed, sample_offset, lens, sky, interpret, rows, row_offset,
+    count_dropped,
 ):
     n_pix = width * rows  # this slab's pixel count (rows == height unsharded)
     n_tiles = pl.cdiv(n_pix, TILE)
@@ -485,7 +507,8 @@ def _render_tape_packed(
     meta = meta.at[0, 2].set(jnp.asarray(row_offset, jnp.int32) * width)
 
     kernel = _make_kernel(
-        program, width, height, spp, max_bounces, lens, sky, n_pix
+        program, width, height, spp, max_bounces, lens, sky, n_pix,
+        count_dropped=count_dropped,
     )
     plane = jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, TILE_LANES), jnp.float32)
     plane_spec = pl.BlockSpec(
@@ -550,6 +573,7 @@ def render_image_tape_pallas(
         lens, sky, interpret,
         height if rows is None else rows,
         jnp.asarray(row_offset, jnp.int32),
+        with_overflow,
     )
     if with_overflow:
         return image, rays, over
