@@ -77,3 +77,37 @@ def load(path) -> tuple[Accumulator, dict]:
             k[len("meta_") :]: z[k] for k in z.files if k.startswith("meta_")
         }
     return acc, meta
+
+
+# -- orbax variant (same Accumulator, directory-based, async-capable) -------
+
+
+def save_orbax(path, acc: Accumulator, **metadata) -> None:
+    """Orbax-backed checkpoint (a DIRECTORY): the production-grade variant
+    for long multi-host progressive renders — atomic finalization, works
+    with sharded arrays. The npz format stays the default (single file, no
+    service deps)."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).resolve()
+    payload = {
+        "radiance_sum": np.asarray(acc.radiance_sum),
+        "sample_count": np.asarray(acc.sample_count),
+        "rays_traced": np.asarray(acc.rays_traced, np.int64),
+        "metadata": {k: np.asarray(v) for k, v in metadata.items()},
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, payload, force=True)
+
+
+def load_orbax(path) -> tuple[Accumulator, dict]:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    z = ckptr.restore(Path(path).resolve())
+    acc = Accumulator(
+        radiance_sum=jnp.asarray(z["radiance_sum"]),
+        sample_count=jnp.asarray(np.asarray(z["sample_count"], np.int32)),
+        rays_traced=int(z["rays_traced"]),
+    )
+    return acc, dict(z.get("metadata") or {})

@@ -595,7 +595,9 @@ def pack_scene(scene: SphereScene, n_brute: int | None = None) -> _PackedScene:
     cols[:nb, 4:7] = 2.0 * c[:nb]  # pre-scaled for the c-term dot
     # shading attrs of the brute spheres (worklist mode selects them with a
     # min-trick instead of the one-hot attr gather): inv_r, kind, param, alb
-    cols[:nb, 7] = 1.0 / np.maximum(r[:nb], 1e-12)
+    # signed: a NEGATIVE radius flips the outward normal — the RTIOW
+    # hollow-bubble trick (sphere inside a glass sphere with r < 0)
+    cols[:nb, 7] = 1.0 / np.where(np.abs(r[:nb]) > 1e-12, r[:nb], 1e-12)
     cols[:nb, 8] = kind[:nb]
     cols[:nb, 9] = prm[:nb]
     cols[:nb, 10:13] = alb[:nb]
@@ -609,7 +611,7 @@ def pack_scene(scene: SphereScene, n_brute: int | None = None) -> _PackedScene:
     c_lo = c - c_hi
     attr[0:3, :s] = c_hi.T
     attr[3:6, :s] = c_lo.T
-    attr[6, :s] = 1.0 / np.maximum(r, 1e-12)
+    attr[6, :s] = 1.0 / np.where(np.abs(r) > 1e-12, r, 1e-12)  # signed
     attr[7, :s] = kind
     attr[8, :s] = prm
     attr[9:12, :s] = alb.T

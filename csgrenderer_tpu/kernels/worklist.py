@@ -170,7 +170,8 @@ def pack_grid(
         return result
 
     c = np.asarray(scene.centers, np.float64)
-    r = np.asarray(scene.radii, np.float64)
+    r_signed = np.asarray(scene.radii, np.float64)
+    r = np.abs(r_signed)  # negative radius = flipped normal, same geometry
     s = c.shape[0]
     if s < min_grid_spheres:
         return _memo(None)
@@ -265,10 +266,11 @@ def pack_grid(
             vals["cy_hi"], vals["cy_lo"] = _bf16_split(cgrid[i, 1])
             vals["cz_hi"], vals["cz_lo"] = _bf16_split(cgrid[i, 2])
             vals["r2_hi"], vals["r2_lo"] = _bf16_split(rgrid[i] * rgrid[i])
+            rs = r_signed[idx_small[i]]
             vals["id_hi"] = np.float32(256 * (gi // 256))  # bf16-exact
             vals["id_lo"] = np.float32(gi % 256)  # bf16-exact (<= 255)
             vals["inv_r_hi"], vals["inv_r_lo"] = _bf16_split(
-                1.0 / max(rgrid[i], 1e-12)
+                1.0 / (rs if abs(rs) > 1e-12 else 1e-12)
             )
             vals["kind"] = np.float32(np.asarray(scene.mat_kind)[oi])
             vals["param"] = np.float32(np.asarray(scene.mat_param)[oi])

@@ -158,3 +158,17 @@ def test_debug_view_1_entry_point():
     center = img[16, 32]
     np.testing.assert_allclose(center[0], (32 + 0.5) / 64, atol=0.01)
     np.testing.assert_allclose(center[1], 1 - (16 + 0.5) / 32, atol=0.01)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    acc = Accumulator.zeros(4, 4)
+    acc = acc.add(jnp.full((4, 4, 3), 2.5), samples=3, rays=jnp.int32(777))
+    p = tmp_path / "orbax_ckpt"
+    checkpoint.save_orbax(p, acc, frame=7)
+    acc2, meta = checkpoint.load_orbax(p)
+    np.testing.assert_allclose(
+        np.asarray(acc2.radiance_sum), np.asarray(acc.radiance_sum)
+    )
+    assert int(acc2.sample_count) == 3
+    assert acc2.rays_traced == 777
+    assert int(meta["frame"]) == 7
