@@ -1,4 +1,4 @@
-from . import integrator, intersect, interval, materials, sampling, tape_eval, tonemap
+from . import integrator, intersect, interval, materials, sampling, tape_eval, tonemap, trimesh
 from .integrator import (
     SphereScene,
     SurfaceHit,
@@ -8,6 +8,7 @@ from .integrator import (
     tape_hit_adapter,
     trace_paths,
 )
+from .trimesh import MeshScene, concat_meshes, icosphere, make_mesh, quad
 
 __all__ = [
     "integrator",
@@ -24,4 +25,10 @@ __all__ = [
     "sky_color",
     "tape_hit_adapter",
     "trace_paths",
+    "trimesh",
+    "MeshScene",
+    "concat_meshes",
+    "icosphere",
+    "make_mesh",
+    "quad",
 ]
