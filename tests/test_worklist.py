@@ -180,3 +180,31 @@ def test_small_scene_falls_back_to_brute():
     from csgrenderer_tpu.models import two_spheres_scene
 
     assert pack_grid(two_spheres_scene()) is None
+
+
+def test_grid_path_inside_shard_map():
+    """The worklist megakernel (strided rotation + slab rows) must compose
+    under shard_map exactly like the brute kernel: slab-sharded render ==
+    unsharded render within MC tie tolerance."""
+    import jax
+
+    from csgrenderer_tpu.parallel import make_mesh as make_device_mesh
+    from csgrenderer_tpu.parallel import render_scene_sharded
+
+    scene = rtiow_final_scene()
+    assert pack_grid(scene) is not None
+    cam = Camera.look_at((13, 2, 3), (0, 0, 0), vfov_degrees=20.0,
+                         aspect_ratio=2.0, aperture=0.1, focus_dist=10.0)
+    mesh = make_device_mesh(4, 2, devices=jax.devices()[:8])
+    img, rays = render_scene_sharded(
+        scene, cam, 64, 32, mesh, spp=4, max_bounces=4, seed=0, lens=True,
+        backend="pallas", interpret=True,
+    )
+    ref, rrays = render_image_pallas(
+        scene, cam, 64, 32, spp=4, max_bounces=4, seed=0, lens=True,
+        interpret=True, worklist=True,
+    )
+    img, ref = np.asarray(img), np.asarray(ref)
+    bad = float((np.abs(img - ref).max(axis=-1) > 0.05).mean())
+    assert bad <= 0.01, f"{bad:.3%} divergent"
+    assert abs(int(rays) - int(rrays)) <= max(8, 0.01 * int(rrays))
