@@ -354,6 +354,202 @@ def classic_wavefront(
     return jax.lax.while_loop(wave_cond, wave_step, state0)
 
 
+def grid_wavefront(
+    *,
+    spp,
+    max_bounces,
+    width,
+    seed,
+    sky,
+    sample_offset_u,
+    local_pix,
+    row_ids,
+    pix_u0,
+    slot_pixel,
+    camera_rays,
+    seg_init,
+    grid_step_fn,
+    hit_surface,
+    n_attrs,
+    walk0,
+):
+    """The fused-DDA wavefront loop shared by the grid-worklist kernels
+    (sphere megakernel, triangle-mesh kernel).
+
+    One while-loop iteration = one grid-DDA step per lane; lanes whose walk
+    completed shade + regenerate in the SAME iteration (the occupancy trick
+    that took the sphere path from 87 to 310 Mrays/s — see worklist.py), and
+    each lane's pixel ROTATES over its lane-column's 8 image-strided slots
+    per sample so per-lane load is an 8-pixel average (310 -> 402).
+
+    Geometry plugs in through three callbacks:
+      - ``seg_init(o, d) -> (ray_ctx, (t0, id0, attrs0), (march0, walk0))``:
+        fresh-segment init — brute-force pass over the global (ungridded)
+        primitives bounding the walk, per-segment ray invariants (ray_ctx),
+        and the DDA setup: march0 (int32 plane, 1 = keep walking) plus an
+        OPAQUE per-lane traversal-state tuple ``walk0`` (2D DDA carries
+        (ix, iz, tmaxx, tmaxz, t_out); a 3D DDA adds its third axis — the
+        loop only threads it through).
+      - ``grid_step_fn(ray_ctx, (march, walk, t_best, id_best, attrs), o, d)
+        -> (march, walk, t_best, id_best, attrs)``: ONE DDA step for every
+        lane (finished lanes fetch the pad cell).
+      - ``hit_surface(attrs, o, d, t_safe) -> (n, front, kind, param, alb)``:
+        shading inputs from the carried winner attributes.
+
+    ``slot_pixel(k_plane) -> (global pixel id, valid)`` maps each lane's
+    sample-k slot to its rotated strided pixel; ``camera_rays(s, px, py,
+    pix_u)`` generates primary rays for explicit pixel planes. Outputs are
+    in strided-slot layout (the caller un-strides, see megakernel).
+    """
+    shape = local_pix.shape
+    zero = jnp.zeros(shape, jnp.float32)
+    zero_i = jnp.zeros(shape, jnp.int32)
+    state0 = dict(
+        o=(zero, zero, zero),
+        d=(zero, zero, zero),
+        thr=(zero, zero, zero),
+        rad=(zero, zero, zero),
+        active=zero_i,
+        b_ctr=zero_i,
+        cur_s=jnp.zeros(shape, jnp.uint32),
+        rays=zero_i,
+        seg=zero_i,  # 1 -> lane needs intersect init this iteration
+        march=zero_i,
+        walk=walk0,
+        t_best=zero,
+        id_best=zero,
+        iters=zero_i,
+        attrs=tuple(zero for _ in range(n_attrs)),  # carried winner attrs
+        samp=(zero, zero, zero),  # current sample's radiance
+        pix_u=pix_u0,  # overwritten at first regen
+    )
+    # slot validity is handled per sample at regeneration (the rotating
+    # assignment visits different slots), so every lane starts owing spp
+    # samples. NB: the 0-init must be VALUE-DEPENDENT — a splat init pins
+    # the while-carry to a replicated Mosaic layout the non-uniform body
+    # value can't relayout into.
+    state0["done"] = local_pix >> 31  # local_pix >= 0 -> all zeros
+
+    def wave_cond(st):
+        has_work = (st["active"] > 0) | (st["done"] < spp)
+        return jnp.max(has_work.astype(jnp.int32)) > 0
+
+    def wave_step(st):
+        # 1. regenerate dead lanes that still owe samples; each lane's
+        # next pixel comes from the rotating strided slot map, and
+        # invalid slots (partial last tile) are consumed with no work
+        want = (st["active"] == 0) & (st["done"] < spp)
+        k_new = st["done"]
+        pix_new, valid = slot_pixel(k_new)
+        regen = want & valid
+        consumed = want  # valid or not, the sample index advances
+        s_new = k_new.astype(jnp.uint32) + sample_offset_u
+        px_n = (pix_new % width).astype(jnp.float32)
+        py_n = (pix_new // width).astype(jnp.float32)
+        pixu_n = pix_new.astype(jnp.uint32)
+        pix_cur = jnp.where(regen, pixu_n, st["pix_u"])
+        (gox, goy, goz), (gdx, gdy, gdz) = camera_rays(
+            s_new, px_n, py_n, pixu_n
+        )
+
+        def sel(new, old):
+            return jnp.where(regen, new, old)
+
+        ox, oy, oz = (sel(g, o) for g, o in zip((gox, goy, goz), st["o"]))
+        dx, dy, dz = (sel(g, o) for g, o in zip((gdx, gdy, gdz), st["d"]))
+        one = jnp.ones_like(gox)
+        tr, tg, tb = (sel(one, t) for t in st["thr"])
+        sr, sg, sb = (sel(jnp.zeros_like(one), v) for v in st["samp"])
+        cur_s = jnp.where(regen, s_new, st["cur_s"])
+        b_ctr = jnp.where(regen, 0, st["b_ctr"])
+        done = st["done"] + consumed.astype(jnp.int32)
+        active_i = jnp.where(regen, 1, st["active"])
+        seg = jnp.where(regen, 1, st["seg"])
+
+        # 2+3. per-segment ray invariants + fresh-segment init (globals
+        # brute force bounds the walk)
+        ray_ctx, (t0, id0, attrs0), (march_n, walk_n) = seg_init(
+            (ox, oy, oz), (dx, dy, dz)
+        )
+        fresh = (seg > 0) & (active_i > 0)
+        t_best = jnp.where(fresh, t0, st["t_best"])
+        id_best = jnp.where(fresh, id0, st["id_best"])
+        attrs = tuple(
+            jnp.where(fresh, a0, ao)
+            for a0, ao in zip(attrs0, st["attrs"])
+        )
+        march = jnp.where(fresh, march_n, st["march"])
+        walk = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(fresh, new, old), walk_n, st["walk"]
+        )
+
+        # 4. ONE DDA step for every lane (finished lanes fetch pad)
+        (march, walk, t_best, id_best, attrs) = grid_step_fn(
+            ray_ctx, (march, walk, t_best, id_best, attrs),
+            (ox, oy, oz), (dx, dy, dz),
+        )
+
+        # 5. lanes whose walk completed shade + scatter now (winner
+        # attrs were carried out of the walk — no gather needed);
+        # segment contributions accumulate into the SAMPLE-local planes
+        finish = (active_i > 0) & (march == 0)
+        hit = t_best < BIG_CUT
+        t_safe = jnp.where(hit, t_best, 1.0)
+        n, front, kind, param, alb = hit_surface(
+            attrs, (ox, oy, oz), (dx, dy, dz), t_safe
+        )
+
+        (o2, d2, thr2, samp2, term) = shade_and_advance(
+            finish, t_best, hit, n, front, kind, param, alb,
+            (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), (sr, sg, sb),
+            pix_cur, cur_s, b_ctr.astype(jnp.uint32), seed, sky,
+        )
+        (ox, oy, oz), (dx, dy, dz) = o2, d2
+        (tr, tg, tb), (sr, sg, sb) = thr2, samp2
+        hit_fin = finish & hit
+
+        rays = st["rays"] + finish.astype(jnp.int32)
+        b_ctr = b_ctr + finish.astype(jnp.int32)
+        cont = hit_fin & ~term & (b_ctr < max_bounces)
+        active_i = jnp.where(finish, cont.astype(jnp.int32), active_i)
+        seg = cont.astype(jnp.int32)  # continuing lanes re-init next iter
+
+        # 6. completed samples scatter to their pixel's row slot:
+        # dst row = (r + k) % 8 (the rotation's inverse), realized as 8
+        # masked sublane reductions — no cross-lane moves needed
+        complete = finish & ~cont
+        k_cur = (cur_s - sample_offset_u).astype(jnp.int32)
+        dst = (row_ids + k_cur) & 7
+        rr, rg, rb = st["rad"]
+        masks = [complete & (dst == t_row) for t_row in range(8)]
+        new_rows = [[], [], []]
+        for ch, (s_ch, r_ch) in enumerate(
+            zip((sr, sg, sb), (rr, rg, rb))
+        ):
+            contrib = jnp.where(complete, s_ch, 0.0)
+            for t_row in range(8):
+                add = jnp.sum(
+                    jnp.where(masks[t_row], contrib, 0.0),
+                    axis=0, keepdims=True,
+                )
+                new_rows[ch].append(r_ch[t_row : t_row + 1] + add)
+        rr = jnp.concatenate(new_rows[0], axis=0)
+        rg = jnp.concatenate(new_rows[1], axis=0)
+        rb = jnp.concatenate(new_rows[2], axis=0)
+
+        return dict(
+            o=(ox, oy, oz), d=(dx, dy, dz), thr=(tr, tg, tb),
+            rad=(rr, rg, rb), active=active_i, b_ctr=b_ctr,
+            cur_s=cur_s, done=done, rays=rays,
+            iters=st["iters"] + 1,
+            seg=seg, march=march, walk=walk,
+            t_best=t_best, id_best=id_best, attrs=attrs,
+            samp=(sr, sg, sb), pix_u=pix_cur,
+        )
+
+    return jax.lax.while_loop(wave_cond, wave_step, state0)
+
+
 def sky_planes(ud, mode: str):
     """Background radiance planes from unit direction planes."""
     udx, udy, udz = ud

@@ -65,6 +65,7 @@ from .common import (
     camera_ray_planes,
     classic_wavefront,
     dot3 as _dot3,
+    grid_wavefront,
     shade_and_advance,
 )
 from .worklist import grid_setup, grid_step, pack_grid
@@ -366,179 +367,7 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
                 cam[:19], px, py, pix_u, s_plane, seed, inv_w, inv_h, lens
             )
 
-        zero = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.float32)
-        zero_i = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32)
         sample_offset_u = sample_offset.astype(jnp.uint32)
-
-        if grid_static is not None:
-            # fused-DDA extension of the wavefront loop: per-lane traversal
-            # state lives in the wave loop so one iteration = one grid cell
-            # per lane (see kernels/worklist.py module docstring for why not
-            # a nested while_loop: per-wave MAX step count ~12 vs mean 1.33)
-            state0 = dict(
-                o=(zero, zero, zero),
-                d=(zero, zero, zero),
-                thr=(zero, zero, zero),
-                rad=(zero, zero, zero),
-                active=zero_i,
-                b_ctr=zero_i,
-                cur_s=jnp.zeros((TILE_ROWS, TILE_LANES), jnp.uint32),
-                rays=zero_i,
-                seg=zero_i,  # 1 -> lane needs intersect init this iteration
-                march=zero_i,
-                ix=zero_i,
-                iz=zero_i,
-                tmaxx=zero,
-                tmaxz=zero,
-                t_out=zero,
-                t_best=zero,
-                id_best=zero,
-                iters=zero_i,
-                attrs=tuple(zero for _ in range(9)),  # carried winner attrs
-                samp=(zero, zero, zero),  # current sample's radiance
-                pix_u=pix.astype(jnp.uint32),  # overwritten at first regen
-            )
-            # slot validity is handled per sample at regeneration (the
-            # rotating assignment visits different slots), so every lane
-            # starts owing spp samples. NB: the 0-init must be VALUE-
-            # DEPENDENT — a splat init pins the while-carry to a replicated
-            # Mosaic layout the non-uniform body value can't relayout into.
-            state0["done"] = local_pix >> 31  # local_pix >= 0 -> all zeros
-
-        def wave_cond(st):
-            has_work = (st["active"] > 0) | (st["done"] < spp)
-            return jnp.max(has_work.astype(jnp.int32)) > 0
-
-        def wave_step_grid(st):
-            # 1. regenerate dead lanes that still owe samples; each lane's
-            # next pixel comes from the rotating strided slot map, and
-            # invalid slots (partial last tile) are consumed with no work
-            want = (st["active"] == 0) & (st["done"] < spp)
-            k_new = st["done"]
-            pix_new, valid = slot_pixel(k_new)
-            regen = want & valid
-            consumed = want  # valid or not, the sample index advances
-            s_new = k_new.astype(jnp.uint32) + sample_offset_u
-            px_n = (pix_new % width).astype(jnp.float32)
-            py_n = (pix_new // width).astype(jnp.float32)
-            pixu_n = pix_new.astype(jnp.uint32)
-            pix_cur = jnp.where(regen, pixu_n, st["pix_u"])
-            (gox, goy, goz), (gdx, gdy, gdz) = camera_rays(
-                s_new, px=px_n, py=py_n, pix_u=pixu_n
-            )
-
-            def sel(new, old):
-                return jnp.where(regen, new, old)
-
-            ox, oy, oz = (sel(g, o) for g, o in zip((gox, goy, goz), st["o"]))
-            dx, dy, dz = (sel(g, o) for g, o in zip((gdx, gdy, gdz), st["d"]))
-            one = jnp.ones_like(gox)
-            tr, tg, tb = (sel(one, t) for t in st["thr"])
-            sr, sg, sb = (sel(jnp.zeros_like(one), v) for v in st["samp"])
-            cur_s = jnp.where(regen, s_new, st["cur_s"])
-            b_ctr = jnp.where(regen, 0, st["b_ctr"])
-            done = st["done"] + consumed.astype(jnp.int32)
-            active_i = jnp.where(regen, 1, st["active"])
-            seg = jnp.where(regen, 1, st["seg"])
-
-            # 2. per-iteration ray invariants
-            a = _dot3(dx, dy, dz, dx, dy, dz)
-            inv_a = 1.0 / a
-            eps_a = jnp.float32(1e-3) * a
-
-            # 3. init fresh segments: globals brute force bounds the walk
-            t0, id0, attrs0 = brute_globals(
-                ox, oy, oz, dx, dy, dz, a, inv_a, eps_a
-            )
-            march_n, ix_n, iz_n, tmx_n, tmz_n, tout_n = grid_setup(
-                grid_static, (ox, oy, oz), (dx, dy, dz), t0
-            )
-            fresh = (seg > 0) & (active_i > 0)
-            t_best = jnp.where(fresh, t0, st["t_best"])
-            id_best = jnp.where(fresh, id0, st["id_best"])
-            attrs = tuple(
-                jnp.where(fresh, a0, ao)
-                for a0, ao in zip(attrs0, st["attrs"])
-            )
-            march = jnp.where(fresh, march_n, st["march"])
-            ix = jnp.where(fresh, ix_n, st["ix"])
-            iz = jnp.where(fresh, iz_n, st["iz"])
-            tmaxx = jnp.where(fresh, tmx_n, st["tmaxx"])
-            tmaxz = jnp.where(fresh, tmz_n, st["tmaxz"])
-            t_out = jnp.where(fresh, tout_n, st["t_out"])
-
-            # 4. ONE DDA step for every lane (finished lanes fetch pad)
-            (march, ix, iz, tmaxx, tmaxz, t_out, t_best, id_best, attrs) = (
-                grid_step(
-                    grid_static, grid_ref[:],
-                    (march, ix, iz, tmaxx, tmaxz, t_out, t_best, id_best,
-                     attrs),
-                    (ox, oy, oz), (dx, dy, dz), a, inv_a, eps_a,
-                )
-            )
-
-            # 5. lanes whose walk completed shade + scatter now (winner
-            # attrs were carried out of the walk — no gather needed);
-            # segment contributions accumulate into the SAMPLE-local planes
-            finish = (active_i > 0) & (march == 0)
-            (cx, cy, cz, inv_r, kind, param, ar, ag, ab) = attrs
-            hit = t_best < BIG_CUT
-            t_safe = jnp.where(hit, t_best, 1.0)
-            onx = (ox + t_safe * dx - cx) * inv_r
-            ony = (oy + t_safe * dy - cy) * inv_r
-            onz = (oz + t_safe * dz - cz) * inv_r
-            front = _dot3(dx, dy, dz, onx, ony, onz) < 0.0
-            sgn = jnp.where(front, 1.0, -1.0)
-            n = (onx * sgn, ony * sgn, onz * sgn)
-
-            (o2, d2, thr2, samp2, term) = shade_and_advance(
-                finish, t_best, hit, n, front, kind, param, (ar, ag, ab),
-                (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), (sr, sg, sb),
-                pix_cur, cur_s, b_ctr.astype(jnp.uint32), seed, sky,
-            )
-            (ox, oy, oz), (dx, dy, dz) = o2, d2
-            (tr, tg, tb), (sr, sg, sb) = thr2, samp2
-            hit_fin = finish & hit
-
-            rays = st["rays"] + finish.astype(jnp.int32)
-            b_ctr = b_ctr + finish.astype(jnp.int32)
-            cont = hit_fin & ~term & (b_ctr < max_bounces)
-            active_i = jnp.where(finish, cont.astype(jnp.int32), active_i)
-            seg = cont.astype(jnp.int32)  # continuing lanes re-init next iter
-
-            # 6. completed samples scatter to their pixel's row slot:
-            # dst row = (r + k) % 8 (the rotation's inverse), realized as 8
-            # masked sublane reductions — no cross-lane moves needed
-            complete = finish & ~cont
-            k_cur = (cur_s - sample_offset_u).astype(jnp.int32)
-            dst = (row_ids + k_cur) & 7
-            rr, rg, rb = st["rad"]
-            masks = [complete & (dst == t_row) for t_row in range(8)]
-            new_rows = [[], [], []]
-            for ch, (s_ch, r_ch) in enumerate(
-                zip((sr, sg, sb), (rr, rg, rb))
-            ):
-                contrib = jnp.where(complete, s_ch, 0.0)
-                for t_row in range(8):
-                    add = jnp.sum(
-                        jnp.where(masks[t_row], contrib, 0.0),
-                        axis=0, keepdims=True,
-                    )
-                    new_rows[ch].append(r_ch[t_row : t_row + 1] + add)
-            rr = jnp.concatenate(new_rows[0], axis=0)
-            rg = jnp.concatenate(new_rows[1], axis=0)
-            rb = jnp.concatenate(new_rows[2], axis=0)
-
-            return dict(
-                o=(ox, oy, oz), d=(dx, dy, dz), thr=(tr, tg, tb),
-                rad=(rr, rg, rb), active=active_i, b_ctr=b_ctr,
-                cur_s=cur_s, done=done, rays=rays,
-                iters=st["iters"] + 1,
-                seg=seg, march=march, ix=ix, iz=iz,
-                tmaxx=tmaxx, tmaxz=tmaxz, t_out=t_out,
-                t_best=t_best, id_best=id_best, attrs=attrs,
-                samp=(sr, sg, sb), pix_u=pix_cur,
-            )
 
         if grid_static is None:
             # the classic wavefront loop is the shared scaffold in common.py
@@ -547,7 +376,66 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
                 sample_offset_u,
             )
         else:
-            state = jax.lax.while_loop(wave_cond, wave_step_grid, state0)
+            # fused-DDA wavefront (common.grid_wavefront): one grid cell per
+            # lane per iteration, finished lanes shade + regenerate in the
+            # same iteration (see kernels/worklist.py module docstring for
+            # why not a nested while_loop: per-wave MAX step count ~12 vs
+            # mean 1.33)
+            def seg_init(o, d):
+                ox, oy, oz = o
+                dx, dy, dz = d
+                a = _dot3(dx, dy, dz, dx, dy, dz)
+                inv_a = 1.0 / a
+                eps_a = jnp.float32(1e-3) * a
+                t0, id0, attrs0 = brute_globals(
+                    ox, oy, oz, dx, dy, dz, a, inv_a, eps_a
+                )
+                march0, *walk = grid_setup(grid_static, o, d, t0)
+                return (
+                    (a, inv_a, eps_a), (t0, id0, attrs0),
+                    (march0, tuple(walk)),
+                )
+
+            def grid_step_fn(ray_ctx, state, o, d):
+                a, inv_a, eps_a = ray_ctx
+                march, walk, t_best, id_best, attrs = state
+                (ix, iz, tmaxx, tmaxz, t_out) = walk
+                (march, ix, iz, tmaxx, tmaxz, t_out, t_best, id_best,
+                 attrs) = grid_step(
+                    grid_static, grid_ref[:],
+                    (march, ix, iz, tmaxx, tmaxz, t_out, t_best, id_best,
+                     attrs),
+                    o, d, a, inv_a, eps_a,
+                )
+                return (
+                    march, (ix, iz, tmaxx, tmaxz, t_out), t_best, id_best,
+                    attrs,
+                )
+
+            def hit_surface(attrs, o, d, t_safe):
+                (cx, cy, cz, inv_r, kind, param, ar, ag, ab) = attrs
+                ox, oy, oz = o
+                dx, dy, dz = d
+                onx = (ox + t_safe * dx - cx) * inv_r
+                ony = (oy + t_safe * dy - cy) * inv_r
+                onz = (oz + t_safe * dz - cz) * inv_r
+                front = _dot3(dx, dy, dz, onx, ony, onz) < 0.0
+                sgn = jnp.where(front, 1.0, -1.0)
+                n = (onx * sgn, ony * sgn, onz * sgn)
+                return n, front, kind, param, (ar, ag, ab)
+
+            zero = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.float32)
+            zero_i = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32)
+            state = grid_wavefront(
+                spp=spp, max_bounces=max_bounces, width=width, seed=seed,
+                sky=sky, sample_offset_u=sample_offset_u,
+                local_pix=local_pix, row_ids=row_ids,
+                pix_u0=pix.astype(jnp.uint32),
+                slot_pixel=slot_pixel, camera_rays=camera_rays,
+                seg_init=seg_init, grid_step_fn=grid_step_fn,
+                hit_surface=hit_surface, n_attrs=9,
+                walk0=(zero_i, zero_i, zero, zero, zero),
+            )
         out_r_ref[:] = state["rad"][0]
         out_g_ref[:] = state["rad"][1]
         out_b_ref[:] = state["rad"][2]
