@@ -1,0 +1,707 @@
+"""Per-voxel triangle worklists: 3D grid packer + in-kernel 3D DDA.
+
+The triangle sibling of kernels/worklist.py (the sphere grid). The brute
+mesh kernel tests every face against every lane each wave — 17.8 Mrays/s
+at ~1000 faces (doc/PERF_NOTES). Like the sphere path, worklists move to
+the RAYS: each lane walks a voxel grid and fetches its current voxel's
+face list with a one-hot MXU matmul.
+
+Differences from the 2D sphere grid, all driven by mesh geometry:
+
+- **3D voxels, not a 2D slab grid.** A ball-like mesh surface stacks many
+  faces over one xz column (top, bottom, and the whole silhouette band),
+  so 2D cells need 100+ slots; 3D voxels keep occupancy near the local
+  "faces per surface patch" count.
+- **Compact-cell indirection.** The one-hot gather's MXU cost is the WHOLE
+  table per row-group (rows x width / 16384 cycles), and most 3D voxels
+  are empty (mesh surfaces are 2D sheets). A tiny 2-row dense map
+  (dense voxel id -> compact cell id, bf16-exact hi/lo split) keeps the
+  fat geometry table at width = non-empty cells only.
+- **Cell-relative hi/lo vertices.** Each slot stores v0 RELATIVE to its
+  voxel's min corner, split bf16 hi/lo: |v0_rel| <~ cell so the
+  reconstruction error is ~bf16_eps^2 * cell (~1e-5 here) — an order
+  better than world-anchored storage; the kernel adds the corner back
+  from the lane's walk coordinates. Edges e1/e2 are small and hi/lo too.
+- **Material indirection.** Faces carry a 1-row mat id (exact <= 255 in
+  bf16); kind/param/albedo live in a separate tiny table gathered once at
+  shade time. This cuts geometry sections from 23 to 19 — directly
+  proportional MXU savings.
+- **Exact SAT binning.** Host packer bins by the exact triangle-box
+  separating-axis test (Akenine-Moller 13-axis), not AABB overlap —
+  duplication is the other factor in table size.
+
+Padding convention: pad/empty cells and unused slots hold all-zero
+geometry; Moller-Trumbore's det == 0 makes inv_det inf and u = 0 * inf =
+NaN, whose comparisons reject the slot — no sentinel rows needed.
+
+Correctness of the walk's early exit: every surface point of a gridded
+face lies in some voxel whose list contains the face (exact SAT binning
+over the full face); the DDA visits voxels in increasing ray-t, so any
+hit with t before the current voxel's entry was already found.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .common import BIG, TILE_LANES, TILE_ROWS
+
+# geometry table row sections (each section = m rows, slot-major)
+_SECTIONS = (
+    "v0x_hi", "v0x_lo", "v0y_hi", "v0y_lo", "v0z_hi", "v0z_lo",
+    "e1x_hi", "e1x_lo", "e1y_hi", "e1y_lo", "e1z_hi", "e1z_lo",
+    "e2x_hi", "e2x_lo", "e2y_hi", "e2y_lo", "e2z_hi", "e2z_lo",
+    "mat_id",
+)
+N_SECTIONS = len(_SECTIONS)
+# attrs carried per lane through the walk (e1/e2 feed the geometric
+# normal at shade time; mat_id feeds the material-table gather)
+ATTR_NAMES = ("e1x", "e1y", "e1z", "e2x", "e2y", "e2z", "mat_id")
+N_ATTRS = len(ATTR_NAMES)
+
+
+# id stored in the dense map for PAD and EMPTY voxels: matches no tier's
+# iota (tier offsets stay far below), bf16-exact (256 * 255)
+PAD_CI = 65280.0
+
+
+class TriGridStatic(NamedTuple):
+    """Hashable static grid config baked into the kernel at trace time.
+
+    ``tiers``: ((m, width, offset), ...) — compact cells are partitioned
+    into occupancy tiers, each with its own table of m slots x width
+    columns; a cell's global compact id falls in [offset, offset + width).
+    Tiering kills the slot slack of a single worst-case m: the one-hot
+    gather cost is the TOTAL table footprint, so slots sized to each
+    cell's actual occupancy are pure MXU savings.
+    """
+
+    nx: int  # voxels along x
+    ny: int
+    nz: int
+    dense_pad: int  # padded dense-map width (multiple of 128)
+    tiers: tuple  # ((m, width, offset), ...)
+    n_compact: int  # total real compact cells (empty test threshold)
+    x0: float
+    y0: float
+    z0: float
+    cell: float  # voxel edge length (cubic)
+
+
+class TriGridPack(NamedTuple):
+    static: TriGridStatic
+    dense_map: np.ndarray  # [2, dense_pad] f32 (bf16-exact): compact hi/lo
+    tables: tuple  # per tier: [N_SECTIONS*m, width] f32 (bf16-exact)
+    mats: np.ndarray  # [8, mat_pad] f32: kind, param, alb_r/g/b (+0 rows)
+    globals_idx: np.ndarray  # original face indices brute-forced every wave
+
+
+def _bf16_np(v):
+    import ml_dtypes
+
+    return np.asarray(v, np.float32).astype(ml_dtypes.bfloat16).astype(
+        np.float32
+    )
+
+
+def _bf16_split(v):
+    v32 = np.asarray(v, np.float64)
+    hi = _bf16_np(v32)
+    lo = _bf16_np(v32 - hi)
+    return hi, lo
+
+
+def _tri_box_overlap(v0, v1, v2, centers, half):
+    """Exact SAT triangle-AABB overlap, vectorized over K boxes.
+
+    v0/v1/v2: [3] triangle vertices; centers: [K, 3] box centers; half:
+    scalar half-edge (cubic). Returns [K] bool.
+    """
+    h = np.asarray([half, half, half])
+    p0 = v0[None] - centers  # [K,3]
+    p1 = v1[None] - centers
+    p2 = v2[None] - centers
+    ok = np.ones(centers.shape[0], bool)
+
+    # box axes: triangle AABB vs box
+    tri_min = np.minimum(np.minimum(p0, p1), p2)
+    tri_max = np.maximum(np.maximum(p0, p1), p2)
+    ok &= np.all((tri_min <= h[None]) & (tri_max >= -h[None]), axis=1)
+
+    # triangle plane vs box
+    e0 = v1 - v0
+    e1 = v2 - v1
+    e2 = v0 - v2
+    n = np.cross(e0, e1)
+    r = np.sum(h * np.abs(n))
+    s = np.sum(p0 * n[None], axis=1)
+    ok &= np.abs(s) <= r + 1e-12
+
+    # 9 cross-product axes
+    for e in (e0, e1, e2):
+        for j in range(3):
+            ax = np.zeros(3)
+            ax[(j + 1) % 3] = -e[(j + 2) % 3]
+            ax[(j + 2) % 3] = e[(j + 1) % 3]
+            ra = np.sum(h * np.abs(ax))
+            q0 = np.sum(p0 * ax[None], axis=1)
+            q1 = np.sum(p1 * ax[None], axis=1)
+            q2 = np.sum(p2 * ax[None], axis=1)
+            lo = np.minimum(np.minimum(q0, q1), q2)
+            hi = np.maximum(np.maximum(q0, q1), q2)
+            ok &= (lo <= ra + 1e-12) & (hi >= -ra - 1e-12)
+    return ok
+
+
+_PACK_CACHE: dict = {}
+
+
+def pack_tri_grid(
+    mesh,
+    m_max: int = 64,
+    max_dense: int = 8192,
+    max_compact: int = 1024,
+    min_grid_faces: int = 192,
+    footprint_factor: float = 6.0,
+    max_globals: int = 16,
+):
+    """Build a TriGridPack for a MeshScene, or None if a grid won't help.
+
+    Returns (pack, globals_mesh): gridded faces live only in the voxel
+    table; ``globals_mesh`` holds the faces brute-forced every wave (huge
+    footprints like ground quads, plus spill from overfull voxels).
+
+    Everything returned is NUMPY (host-side packing stays out of jit —
+    jnp.asarray inside a trace returns a tracer, see worklist.pack_grid).
+    Memoized on the mesh's array identities.
+    """
+    from ..render.trimesh import MeshScene
+
+    key = (id(mesh.v0), id(mesh.e1), m_max, max_dense, max_compact)
+    cached = _PACK_CACHE.get(key)
+    if cached is not None and cached[0] is mesh.v0:
+        return cached[1]
+
+    def _memo(result):
+        if len(_PACK_CACHE) > 32:
+            _PACK_CACHE.clear()
+        _PACK_CACHE[key] = (mesh.v0, result)
+        return result
+
+    v0 = np.asarray(mesh.v0, np.float64)
+    e1 = np.asarray(mesh.e1, np.float64)
+    e2 = np.asarray(mesh.e2, np.float64)
+    f = v0.shape[0]
+    if f < min_grid_faces:
+        return _memo(None)
+
+    v1 = v0 + e1
+    v2 = v0 + e2
+    fmin = np.minimum(np.minimum(v0, v1), v2)
+    fmax = np.maximum(np.maximum(v0, v1), v2)
+    diag = np.linalg.norm(fmax - fmin, axis=1)
+    med = float(np.median(diag))
+    big_face = diag > footprint_factor * max(med, 1e-12)
+
+    grid_mask = ~big_face
+    if int(grid_mask.sum()) < min_grid_faces:
+        return _memo(None)
+
+    def build(cell, gmask):
+        idx = np.where(gmask)[0]
+        g0 = np.min(fmin[idx], axis=0) - 1e-6
+        g1 = np.max(fmax[idx], axis=0) + 1e-6
+        dims = np.maximum(1, np.ceil((g1 - g0) / cell).astype(int))
+        nxc, nyc, nzc = int(dims[0]), int(dims[1]), int(dims[2])
+        if nxc * nyc * nzc + 1 > max_dense:
+            return None
+        lists: dict[int, list[int]] = {}
+        half = cell / 2.0
+        for fi in idx:
+            i0 = np.floor((fmin[fi] - g0) / cell).astype(int)
+            i1 = np.floor((fmax[fi] - g0) / cell).astype(int)
+            i1 = np.minimum(i1, dims - 1)
+            gx, gy, gz = np.meshgrid(
+                np.arange(i0[0], i1[0] + 1),
+                np.arange(i0[1], i1[1] + 1),
+                np.arange(i0[2], i1[2] + 1),
+                indexing="ij",
+            )
+            cand = np.stack(
+                [gx.ravel(), gy.ravel(), gz.ravel()], axis=1
+            )  # [K,3]
+            centers = g0[None] + (cand + 0.5) * cell
+            hitm = _tri_box_overlap(v0[fi], v1[fi], v2[fi], centers, half)
+            for cx, cy, cz in cand[hitm]:
+                ci = (int(cx) * nyc + int(cy)) * nzc + int(cz)
+                lists.setdefault(ci, []).append(int(fi))
+        return (nxc, nyc, nzc), g0, lists
+
+    # pick the cell size minimizing the one-hot table footprint
+    # (sections * m * c_pad ~ MXU cycles per gather); spill the largest
+    # faces of overfull voxels to the brute-force globals
+    def plan_tiers(occs):
+        """Choose <= 3 occupancy tiers minimizing the MXU gather cost
+        sum(ceil(N_SECTIONS*m_k / 128) * width_k) — the matmul runs in
+        128-row blocks, so m choices that exactly fill blocks are free
+        capacity. occs: per-cell face counts (capped at m_max)."""
+        occs = np.sort(occs)
+        # m values that fill k row-blocks exactly: floor(128k / sections)
+        m_opts = []
+        k = 1
+        while True:
+            m = (128 * k) // N_SECTIONS
+            if m >= m_max:
+                m_opts.append(m_max)
+                break
+            m_opts.append(m)
+            k += 1
+        worst = int(occs[-1])
+        need = min(x for x in m_opts if x >= worst)
+
+        def width(count):
+            return int(np.ceil(count / 128.0)) * 128 if count else 0
+
+        def cost(bounds):
+            # bounds ascending, last >= need
+            total = 0
+            prev = 0
+            for mb in bounds:
+                cnt = int(np.searchsorted(occs, mb, side="right")) - prev
+                blocks = int(np.ceil(N_SECTIONS * mb / 128.0))
+                total += blocks * width(cnt)
+                prev += cnt
+            return total
+
+        best_t = None
+        import itertools
+
+        for kt in (1, 2, 3):
+            for combo in itertools.combinations(m_opts, kt):
+                if combo[-1] < need:
+                    continue
+                c = cost(combo)
+                if best_t is None or c < best_t[0]:
+                    best_t = (c, combo)
+        return best_t  # (MXU cost in width-columns, bounds)
+
+    ext = float(np.max(np.max(fmax[grid_mask], axis=0)
+                       - np.min(fmin[grid_mask], axis=0)))
+    best = None
+    for n_side in (3, 4, 5, 6, 8, 10, 12, 16, 20, 24):
+        cell = ext / n_side + 1e-9
+        built = build(cell, grid_mask)
+        if built is None:
+            continue
+        dims, g0, lists = built
+        if not lists:
+            continue
+        if len(lists) > max_compact:
+            continue
+        # spill overfull voxels' largest faces to the brute globals
+        spilled: set[int] = set()
+        for ci, l in lists.items():
+            if len(l) > m_max:
+                by_size = sorted(l, key=lambda i: -diag[i])
+                for i in by_size[: len(l) - m_max]:
+                    spilled.add(i)
+        n_glob = int(big_face.sum()) + len(spilled)
+        if n_glob > max_globals:
+            continue
+        lists2 = {
+            ci: [i for i in l if i not in spilled]
+            for ci, l in lists.items()
+        }
+        lists2 = {ci: l for ci, l in lists2.items() if l}
+        if not lists2:
+            continue
+        occs = np.asarray([len(l) for l in lists2.values()])
+        mxu_cols, bounds = plan_tiers(occs)
+        # score = per-iteration gather cost x expected iteration count
+        # (DDA steps scale with cells crossed ~ ext/cell; the +K damps it
+        # for the skip-empty fast path and the non-walk fixed work)
+        score = (mxu_cols + 700.0) * (ext / cell + 10.0)
+        cand = (score, -cell, dims, g0, cell, lists2, spilled, bounds)
+        if best is None or cand[:2] < best[:2]:
+            best = cand
+    if best is None:
+        return _memo(None)
+
+    _, _, dims, g0, cell, lists, spilled, bounds = best
+    nxc, nyc, nzc = dims
+    dense_n = nxc * nyc * nzc
+    dense_pad = int(np.ceil((dense_n + 1) / 128.0)) * 128
+
+    # assign compact ids tier by tier (ascending occupancy tiers)
+    by_occ = sorted(lists.items(), key=lambda kv: len(kv[1]))
+    tier_cells: list[list] = [[] for _ in bounds]
+    for ci, l in by_occ:
+        for ti, mb in enumerate(bounds):
+            if len(l) <= mb:
+                tier_cells[ti].append((ci, l))
+                break
+    tiers = []
+    tables = []
+    offset = 0
+    for mb, cells in zip(bounds, tier_cells):
+        w = int(np.ceil(len(cells) / 128.0)) * 128 if cells else 0
+        if w == 0:
+            continue
+        tiers.append((mb, w, offset))
+        tables.append(np.zeros((N_SECTIONS * mb, w), np.float32))
+        offset += w
+    n_compact = offset
+
+    # dense map: PAD_CI everywhere (pad + empty voxels), real cells set below
+    dense_map = np.zeros((2, dense_pad), np.float32)
+    dense_map[0, :] = np.float32(256 * (int(PAD_CI) // 256))
+    dense_map[1, :] = np.float32(int(PAD_CI) % 256)
+
+    # material table: unique (kind, param, albedo) rows
+    kind = np.asarray(mesh.mat_kind, np.float64)
+    prm = np.asarray(mesh.mat_param, np.float64)
+    alb = np.asarray(mesh.albedo, np.float64)
+    mat_rows = np.stack([kind, prm, alb[:, 0], alb[:, 1], alb[:, 2]], axis=1)
+    uniq, face_mat = np.unique(
+        _bf16_np(mat_rows), axis=0, return_inverse=True
+    )
+    if uniq.shape[0] > 255:
+        return _memo(None)  # mat-id row is exact only to 255
+    mat_pad = 128 * int(np.ceil((uniq.shape[0] + 1) / 128.0))
+    mats = np.zeros((8, mat_pad), np.float32)
+    mats[0:5, : uniq.shape[0]] = uniq.T
+
+    assert offset < int(PAD_CI), "compact id space collides with PAD_CI"
+    sec = {name: i for i, name in enumerate(_SECTIONS)}
+    for (mb, w, toff), cells, table in zip(tiers, [c for c in tier_cells
+                                                   if c], tables):
+        for local_i, (ci, l) in enumerate(cells):
+            compact_i = toff + local_i
+            dense_map[0, ci] = np.float32(256 * (compact_i // 256))
+            dense_map[1, ci] = np.float32(compact_i % 256)
+            cz = ci % nzc
+            cy = (ci // nzc) % nyc
+            cx = ci // (nzc * nyc)
+            corner = g0 + np.asarray([cx, cy, cz], np.float64) * cell
+            for slot, fi in enumerate(l):
+                vals = {}
+                rel = v0[fi] - corner
+                for ax, axn in enumerate("xyz"):
+                    hi, lo = _bf16_split(rel[ax])
+                    vals[f"v0{axn}_hi"], vals[f"v0{axn}_lo"] = hi, lo
+                    hi, lo = _bf16_split(e1[fi, ax])
+                    vals[f"e1{axn}_hi"], vals[f"e1{axn}_lo"] = hi, lo
+                    hi, lo = _bf16_split(e2[fi, ax])
+                    vals[f"e2{axn}_hi"], vals[f"e2{axn}_lo"] = hi, lo
+                vals["mat_id"] = np.float32(face_mat[fi])
+                for name, v in vals.items():
+                    table[sec[name] * mb + slot, local_i] = v
+
+    globals_idx = np.sort(
+        np.concatenate([np.where(big_face)[0], np.fromiter(spilled, int,
+                                                           len(spilled))])
+    ).astype(np.int64)
+    glob_mesh = MeshScene(
+        v0=np.asarray(mesh.v0)[globals_idx],
+        e1=np.asarray(mesh.e1)[globals_idx],
+        e2=np.asarray(mesh.e2)[globals_idx],
+        mat_kind=np.asarray(mesh.mat_kind)[globals_idx],
+        albedo=np.asarray(mesh.albedo)[globals_idx],
+        mat_param=np.asarray(mesh.mat_param)[globals_idx],
+    )
+    static = TriGridStatic(
+        nx=nxc, ny=nyc, nz=nzc, dense_pad=dense_pad, tiers=tuple(tiers),
+        n_compact=n_compact,
+        x0=float(g0[0]), y0=float(g0[1]), z0=float(g0[2]), cell=float(cell),
+    )
+    # global-face material ids (for the shared shade-time mat gather)
+    glob_mat = face_mat[globals_idx].astype(np.float32)
+    pack = TriGridPack(
+        static=static, dense_map=dense_map, tables=tuple(tables), mats=mats,
+        globals_idx=globals_idx,
+    )
+    return _memo((pack, glob_mesh, glob_mat))
+
+
+# ---------------------------------------------------------------------------
+# kernel-side fragments (trace-time builders over [8,128] planes)
+# ---------------------------------------------------------------------------
+
+
+def tri_grid_setup(gs: TriGridStatic, o, d, t_glob):
+    """3D DDA init for fresh segments. Returns (march, walk) with walk =
+    (ix, iy, iz, tmaxx, tmaxy, tmaxz, t_out). ``t_glob`` (the brute
+    globals' best hit) bounds the walk."""
+    big = BIG
+    eps = np.float32(1e-12)
+    inv_cell = np.float32(1.0 / gs.cell)
+    lo = (gs.x0, gs.y0, gs.z0)
+    dims = (gs.nx, gs.ny, gs.nz)
+
+    t_in = jnp.full_like(o[0], np.float32(1e-3))
+    t_out = jnp.full_like(o[0], big)
+    for ax in range(3):
+        o_c, d_c = o[ax], d[ax]
+        hi_w = np.float32(lo[ax] + dims[ax] * gs.cell)
+        lo_w = np.float32(lo[ax])
+        inv = 1.0 / d_c
+        t0 = (lo_w - o_c) * inv
+        t1 = (hi_w - o_c) * inv
+        lo_t = jnp.minimum(t0, t1)
+        hi_t = jnp.maximum(t0, t1)
+        flat = jnp.abs(d_c) < eps
+        inside = (o_c >= lo_w) & (o_c <= hi_w)
+        lo_t = jnp.where(flat, jnp.where(inside, -big, big), lo_t)
+        hi_t = jnp.where(flat, jnp.where(inside, big, -big), hi_t)
+        t_in = jnp.maximum(t_in, lo_t)
+        t_out = jnp.minimum(t_out, hi_t)
+    t_out = jnp.minimum(t_out, t_glob)
+    march = (t_in <= t_out).astype(jnp.int32)
+
+    idxs = []
+    tmaxs = []
+    for ax in range(3):
+        o_c, d_c = o[ax], d[ax]
+        p = o_c + t_in * d_c
+        i0 = jnp.clip(
+            jnp.floor((p - np.float32(lo[ax])) * inv_cell).astype(jnp.int32),
+            0, dims[ax] - 1,
+        )
+        step = jnp.where(d_c > 0, 1, jnp.where(d_c < 0, -1, 0)).astype(
+            jnp.int32
+        )
+        flat = jnp.abs(d_c) < eps
+        next_b = np.float32(lo[ax]) + (
+            i0 + jnp.where(step > 0, 1, 0)
+        ).astype(jnp.float32) * np.float32(gs.cell)
+        tmax0 = jnp.where(flat, big, (next_b - o_c) / d_c)
+        idxs.append(i0)
+        tmaxs.append(tmax0)
+    walk = (idxs[0], idxs[1], idxs[2], tmaxs[0], tmaxs[1], tmaxs[2], t_out)
+    return march, walk
+
+
+def _dda_advance3(gs: TriGridStatic, walk, d, act, t_best):
+    """One 3-axis DDA advance; returns (still, walk)."""
+    ix, iy, iz, tmaxx, tmaxy, tmaxz, t_out = walk
+    big = BIG
+    eps = np.float32(1e-12)
+    t_next = jnp.minimum(jnp.minimum(tmaxx, tmaxy), tmaxz)
+    go_x = (tmaxx <= tmaxy) & (tmaxx <= tmaxz)
+    go_y = (~go_x) & (tmaxy <= tmaxz)
+    go_z = (~go_x) & (~go_y)
+
+    outs = []
+    for ax, go, (i_c, tmax_c) in zip(
+        range(3), (go_x, go_y, go_z),
+        ((ix, tmaxx), (iy, tmaxy), (iz, tmaxz)),
+    ):
+        d_c = d[ax]
+        step = jnp.where(d_c > 0, 1, jnp.where(d_c < 0, -1, 0)).astype(
+            jnp.int32
+        )
+        flat = jnp.abs(d_c) < eps
+        td = jnp.where(flat, big, jnp.abs(np.float32(gs.cell) / d_c))
+        i2 = i_c + jnp.where(go, step, 0)
+        tm2 = jnp.where(go, tmax_c + td, tmax_c)
+        outs.append((i2, tm2))
+    (ix2, tmx2), (iy2, tmy2), (iz2, tmz2) = outs
+    in_grid = (
+        (ix2 >= 0) & (ix2 < gs.nx)
+        & (iy2 >= 0) & (iy2 < gs.ny)
+        & (iz2 >= 0) & (iz2 < gs.nz)
+    )
+    still = act & in_grid & (t_next <= t_out) & (t_next < t_best)
+    ix = jnp.where(act, ix2, ix)
+    iy = jnp.where(act, iy2, iy)
+    iz = jnp.where(act, iz2, iz)
+    tmaxx = jnp.where(act, tmx2, tmaxx)
+    tmaxy = jnp.where(act, tmy2, tmaxy)
+    tmaxz = jnp.where(act, tmz2, tmaxz)
+    return still, (ix, iy, iz, tmaxx, tmaxy, tmaxz, t_out)
+
+
+def _compact_lookup(gs: TriGridStatic, dense_tab, walk, act):
+    """Dense voxel id -> compact cell id planes via the tiny 2-row one-hot
+    matmul. Inactive lanes fetch the dense pad column."""
+    ix, iy, iz = walk[0], walk[1], walk[2]
+    pad_dense = np.int32(gs.dense_pad - 1)
+    dense_id = jnp.where(
+        act, (ix * gs.ny + iy) * gs.nz + iz, pad_dense
+    )
+    dense_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (gs.dense_pad, TILE_LANES), 0
+    )
+    rows_hi = []
+    rows_lo = []
+    for g in range(TILE_ROWS):
+        onehot = (dense_iota == dense_id[g : g + 1]).astype(dense_tab.dtype)
+        got = jax.lax.dot_general(
+            dense_tab, onehot,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [2, 128]
+        rows_hi.append(got[0:1])
+        rows_lo.append(got[1:2])
+    ci = jnp.concatenate(rows_hi, axis=0) + jnp.concatenate(rows_lo, axis=0)
+    return ci  # [8,128] f32 compact cell ids
+
+
+def tri_grid_step(gs: TriGridStatic, dense_tab, tri_tabs, state, o, d,
+                  skip_empty: int = 2):
+    """ONE DDA step for every lane: compact lookup (+ cheap empty-voxel
+    skips) -> per-tier one-hot face gather -> Moller-Trumbore over the
+    tier slots -> advance.
+
+    ``state`` = (march, walk, t_best, id_best, attrs) in the
+    common.grid_wavefront layout. ``tri_tabs``: one table per occupancy
+    tier (see TriGridStatic.tiers) — a lane's cell lives in exactly one
+    tier; the other tiers' one-hots match nothing and their zero slots
+    fail Moller-Trumbore via the NaN route, so no masking is needed.
+    ``skip_empty``: number of extra dense-map-only advances taken when
+    the current voxel is empty — the dense lookup is ~50x cheaper than
+    the face gathers, so empty voxels shouldn't cost full iterations.
+    """
+    march, walk, t_best, id_best, attrs = state
+    ox, oy, oz = o
+    dx, dy, dz = d
+    big = BIG
+    eps = np.float32(1e-3)
+    pad_ci = np.float32(PAD_CI)
+
+    act = march > 0
+    ci = _compact_lookup(gs, dense_tab, walk, act)
+    for _ in range(skip_empty):
+        # advance lanes sitting in EMPTY voxels without paying the gathers
+        empty = act & (ci >= pad_ci)
+        still, walk = _dda_advance3(gs, walk, d, empty, t_best)
+        # lanes that advanced out of the walk are done marching
+        march = jnp.where(empty, still.astype(jnp.int32), march)
+        act = march > 0
+        ci = jnp.where(empty, _compact_lookup(gs, dense_tab, walk, act), ci)
+
+    ci = jnp.where(act, ci, pad_ci)
+
+    ix, iy, iz = walk[0], walk[1], walk[2]
+    cornx = np.float32(gs.x0) + ix.astype(jnp.float32) * np.float32(gs.cell)
+    corny = np.float32(gs.y0) + iy.astype(jnp.float32) * np.float32(gs.cell)
+    cornz = np.float32(gs.z0) + iz.astype(jnp.float32) * np.float32(gs.cell)
+
+    t_rows = []
+    attr_rows = [[] for _ in range(N_ATTRS)]
+    for g in range(TILE_ROWS):
+        dxr, dyr, dzr = dx[g : g + 1], dy[g : g + 1], dz[g : g + 1]
+        # tvec = (o - corner) - v0_rel : the subtraction keeps the small
+        # cell-relative magnitudes (precision) and costs one extra sub/row
+        tox = ox[g : g + 1] - cornx[g : g + 1]
+        toy = oy[g : g + 1] - corny[g : g + 1]
+        toz = oz[g : g + 1] - cornz[g : g + 1]
+
+        t_row = None
+        a_row = None
+        for (m, w, toff), tab in zip(gs.tiers, tri_tabs):
+            c_iota_f = jax.lax.broadcasted_iota(
+                jnp.int32, (w, TILE_LANES), 0
+            ).astype(jnp.float32)
+            onehot = (
+                c_iota_f == (ci[g : g + 1] - np.float32(toff))
+            ).astype(tab.dtype)
+            got = jax.lax.dot_general(
+                tab, onehot,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [N_SECTIONS*m, 128]
+
+            def sect(i, got=got, m=m):
+                return got[i * m : (i + 1) * m]
+
+            # reconstruct slot geometry (hi+lo); v0 is voxel-corner-relative
+            v0x = sect(0) + sect(1)
+            v0y = sect(2) + sect(3)
+            v0z = sect(4) + sect(5)
+            e1x = sect(6) + sect(7)
+            e1y = sect(8) + sect(9)
+            e1z = sect(10) + sect(11)
+            e2x = sect(12) + sect(13)
+            e2y = sect(14) + sect(15)
+            e2z = sect(16) + sect(17)
+            mid = sect(18)
+
+            tvx = tox - v0x
+            tvy = toy - v0y
+            tvz = toz - v0z
+            # pvec = d x e2
+            pvx = dyr * e2z - dzr * e2y
+            pvy = dzr * e2x - dxr * e2z
+            pvz = dxr * e2y - dyr * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            inv_det = 1.0 / det  # inf/NaN on degenerate/padding -> rejected
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            # qvec = tvec x e1
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            v = (dxr * qvx + dyr * qvy + dzr * qvz) * inv_det
+            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+            valid = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (tt > eps)
+            tc = jnp.where(valid, tt, big)
+            tc_min = jnp.min(tc, axis=0, keepdims=True)  # [1,128]
+            slot_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (m, TILE_LANES), 0
+            )
+            winner = jnp.where(tc == tc_min, slot_iota, jnp.int32(m))
+            w_min = jnp.min(winner, axis=0, keepdims=True)
+            sel = slot_iota == w_min
+            slot_attrs = (e1x, e1y, e1z, e2x, e2y, e2z, mid)
+            a_tier = [
+                jnp.min(jnp.where(sel, sa, big), axis=0, keepdims=True)
+                for sa in slot_attrs
+            ]
+            if t_row is None:
+                t_row, a_row = tc_min, a_tier
+            else:
+                better = tc_min < t_row
+                a_row = [
+                    jnp.where(better, an, ao)
+                    for an, ao in zip(a_tier, a_row)
+                ]
+                t_row = jnp.where(better, tc_min, t_row)
+        t_rows.append(t_row)
+        for j in range(N_ATTRS):
+            attr_rows[j].append(a_row[j])
+
+    t_cand = jnp.concatenate(t_rows, axis=0)  # [8,128]
+    improve = act & (t_cand < t_best)
+    t_best = jnp.where(improve, t_cand, t_best)
+    attrs = tuple(
+        jnp.where(improve, jnp.concatenate(rows, axis=0), old)
+        for rows, old in zip(attr_rows, attrs)
+    )
+
+    still, walk = _dda_advance3(gs, walk, d, act, t_best)
+    march = jnp.where(act, still.astype(jnp.int32), march)
+    return march, walk, t_best, id_best, attrs
+
+
+def emit_tri_grid_walk(gs: TriGridStatic, dense_tab, tri_tabs, o, d,
+                       t_best0):
+    """Whole-walk wrapper (setup + while over tri_grid_step) for the fuzz
+    tests — the production kernel fuses one step per wavefront iteration
+    instead (common.grid_wavefront)."""
+    march, walk = tri_grid_setup(gs, o, d, t_best0)
+    attrs0 = tuple(jnp.zeros_like(t_best0) for _ in range(N_ATTRS))
+    id0 = jnp.zeros_like(t_best0)
+
+    def cond(st):
+        return jnp.max(st[0]) > 0
+
+    def body(st):
+        return tuple(tri_grid_step(gs, dense_tab, tri_tabs, st, o, d))
+
+    st = (march, walk, t_best0, id0, attrs0)
+    st = jax.lax.while_loop(cond, body, st)
+    return st[2], st[4]

@@ -1,14 +1,23 @@
-"""Fused Pallas path-tracing kernel for triangle meshes.
+"""Fused Pallas path-tracing kernels for triangle meshes.
 
-The mesh sibling of the sphere megakernel: per 1024-ray tile, every bounce
-tests all faces with a vectorized Möller-Trumbore over [F, 128] broadcast
-planes (the round-1 brute-force pattern — per-cell worklists for triangles
-are the designed follow-up, same tables as kernels/worklist.py). The
-sample/bounce machinery (wavefront regeneration, RNG, materials, shading)
-is the shared scaffold in kernels/common.py.
+Two modes, sharing the wavefront machinery in kernels/common.py:
 
-Winner attributes are one-hot MXU-gathered; geometric normals are stored
-hi/lo split so the single-pass bf16 gather reconstructs them to ~1.6e-5.
+- **Brute** (small meshes): per 1024-ray tile, every bounce tests all
+  faces with a vectorized Möller-Trumbore over [F, 128] broadcast planes
+  (the round-1 pattern) on the classic per-pixel wavefront loop.
+- **Grid** (``worklist="auto"``, meshes of ~200+ faces): per-voxel
+  triangle worklists walked by a per-lane 3D DDA fused into the rotating
+  wavefront loop (common.grid_wavefront) — the mesh realization of the
+  design that took the sphere kernel from 87 to 448+ Mrays/s. Host packer,
+  table layout, and the DDA/gather step live in kernels/tri_worklist.py;
+  huge-footprint faces (ground quads) plus voxel spill are brute-forced
+  as unrolled scalar Möller-Trumbore from SMEM every iteration, bounding
+  the walk.
+
+Winner attributes are one-hot MXU-gathered; in grid mode only the edge
+vectors + a material id are carried (geometric normal = cross(e1, e2) at
+shade time; kind/param/albedo come from a tiny material table gathered
+once per iteration).
 """
 
 from __future__ import annotations
@@ -33,9 +42,17 @@ from .common import (
     TILE_ROWS,
     camera_ray_planes,
     classic_wavefront,
+    dot3 as _dot3,
+    grid_wavefront,
     shade_and_advance,
 )
 from .megakernel import pack_camera
+from .tri_worklist import (
+    N_ATTRS,
+    pack_tri_grid,
+    tri_grid_setup,
+    tri_grid_step,
+)
 
 
 class _PackedMesh(NamedTuple):
@@ -70,13 +87,37 @@ def pack_mesh(mesh: MeshScene) -> _PackedMesh:
     return _PackedMesh(cols=jnp.asarray(cols), attr=jnp.asarray(attr))
 
 
-def _make_kernel(width, height, spp, max_bounces, lens, sky, f_pad, n_pix):
+def pack_mesh_globals(glob_mesh: MeshScene, glob_mat: np.ndarray):
+    """SMEM scalar table for the grid mode's brute-forced faces:
+    [G_pad, 16] f32 rows of v0(3), e1(3), e2(3), mat_id."""
+    g = int(np.asarray(glob_mesh.v0).shape[0])
+    g_pad = max(1, g)
+    cols = np.zeros((g_pad, 16), np.float32)
+    if g:
+        cols[:g, 0:3] = np.asarray(glob_mesh.v0, np.float32)
+        cols[:g, 3:6] = np.asarray(glob_mesh.e1, np.float32)
+        cols[:g, 6:9] = np.asarray(glob_mesh.e2, np.float32)
+        cols[:g, 9] = np.asarray(glob_mat, np.float32)
+    return cols
+
+
+def _make_kernel(width, height, spp, max_bounces, lens, sky, f_pad, n_pix,
+                 grid_static=None, n_globals=0, mat_pad=0):
     inv_w = np.float32(1.0 / width)
     inv_h = np.float32(1.0 / height)
     eps = np.float32(1e-3)
 
-    def kernel(cam_ref, meta_ref, cols_ref, attr_ref,
-               out_r_ref, out_g_ref, out_b_ref, rays_ref):
+    def kernel(cam_ref, meta_ref, *rest):
+        if grid_static is not None:
+            n_tiers = len(grid_static.tiers)
+            glob_ref, dense_ref = rest[0], rest[1]
+            tier_refs = rest[2 : 2 + n_tiers]
+            (mats_ref, out_r_ref, out_g_ref, out_b_ref, rays_ref) = rest[
+                2 + n_tiers :
+            ]
+        else:
+            (cols_ref, attr_ref,
+             out_r_ref, out_g_ref, out_b_ref, rays_ref) = rest
         tile_idx = pl.program_id(0)
         seed = meta_ref[0, 0]
         sample_offset = meta_ref[0, 1]
@@ -91,85 +132,202 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, f_pad, n_pix):
         px = (pix % width).astype(jnp.float32)
         py = (pix // width).astype(jnp.float32)
         pix_u = pix.astype(jnp.uint32)
+        sample_offset_u = sample_offset.astype(jnp.uint32)
 
-        attr = attr_ref[:]
-        face_iota = jax.lax.broadcasted_iota(jnp.int32, (f_pad, TILE_LANES), 0)
-        shape = (f_pad, TILE_LANES)
-        bcast = [
-            jnp.broadcast_to(cols_ref[:, j : j + 1], shape) for j in range(9)
-        ]
-        (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = bcast
-
-        def intersect_tile(ox, oy, oz, dx, dy, dz):
-            """Nearest Möller-Trumbore hit per lane + winner attr planes."""
-            t_rows = []
-            attr_rows = []
-            for g in range(TILE_ROWS):
-                dxr, dyr, dzr = dx[g:g+1], dy[g:g+1], dz[g:g+1]
-                oxr, oyr, ozr = ox[g:g+1], oy[g:g+1], oz[g:g+1]
-                # pvec = d x e2
-                pvx = dyr * e2z - dzr * e2y
-                pvy = dzr * e2x - dxr * e2z
-                pvz = dxr * e2y - dyr * e2x
-                det = e1x * pvx + e1y * pvy + e1z * pvz
-                inv_det = 1.0 / det  # inf/NaN on degenerate -> rejected
-                tvx = oxr - v0x
-                tvy = oyr - v0y
-                tvz = ozr - v0z
-                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                # qvec = tvec x e1
-                qvx = tvy * e1z - tvz * e1y
-                qvy = tvz * e1x - tvx * e1z
-                qvz = tvx * e1y - tvy * e1x
-                v = (dxr * qvx + dyr * qvy + dzr * qvz) * inv_det
-                tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                valid = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (tt > eps)
-                ta = jnp.where(valid, tt, BIG)
-                t_best = jnp.min(ta, axis=0, keepdims=True)  # [1,128]
-                cand = jnp.where(ta == t_best, face_iota, jnp.int32(f_pad))
-                sel = jnp.min(cand, axis=0, keepdims=True)
-                onehot = (face_iota == sel).astype(jnp.float32)
-                got = jnp.dot(attr, onehot, preferred_element_type=jnp.float32)
-                t_rows.append(t_best)
-                attr_rows.append(got)
-
-            t_pl = jnp.concatenate(t_rows, axis=0)
-            raw = [
-                jnp.concatenate([ar[j:j+1] for ar in attr_rows], axis=0)
-                for j in range(11)
-            ]
-            n = (raw[0] + raw[3], raw[1] + raw[4], raw[2] + raw[5])
-            return t_pl, n, raw[6], raw[7], (raw[8], raw[9], raw[10])
-
-        def camera_rays(s_plane):
+        def camera_rays(s_plane, px=px, py=py, pix_u=pix_u):
             return camera_ray_planes(
                 cam, px, py, pix_u, s_plane, seed, inv_w, inv_h, lens
             )
 
-        def bounce_step(b, s, pu, o, d, thr, rad, active_i, rays, extra):
-            ox, oy, oz = o
-            dx, dy, dz = d
-            active = active_i > 0
-            t_pl, n_geo, kind, param, alb = intersect_tile(
-                ox, oy, oz, dx, dy, dz
+        if grid_static is None:
+            attr = attr_ref[:]
+            face_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (f_pad, TILE_LANES), 0
             )
-            hit = t_pl < BIG_CUT
-            ngx, ngy, ngz = n_geo
-            front = (dx * ngx + dy * ngy + dz * ngz) < 0.0
-            sgn = jnp.where(front, 1.0, -1.0)
-            n = (ngx * sgn, ngy * sgn, ngz * sgn)
-            (o, d, thr, rad, term) = shade_and_advance(
-                active, t_pl, hit, n, front, kind, param, alb,
-                o, d, thr, rad, pix_u, s, b, seed, sky,
-            )
-            rays = rays + active_i
-            active_i = (active & hit & ~term).astype(jnp.int32)
-            return o, d, thr, rad, active_i, rays, extra
+            shape = (f_pad, TILE_LANES)
+            bcast = [
+                jnp.broadcast_to(cols_ref[:, j : j + 1], shape)
+                for j in range(9)
+            ]
+            (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = bcast
 
-        state = classic_wavefront(
-            bounce_step, camera_rays, spp, max_bounces, in_image,
-            sample_offset.astype(jnp.uint32),
-        )
+            def intersect_tile(ox, oy, oz, dx, dy, dz):
+                """Nearest MT hit per lane + winner attr planes."""
+                t_rows = []
+                attr_rows = []
+                for g in range(TILE_ROWS):
+                    dxr, dyr, dzr = dx[g:g+1], dy[g:g+1], dz[g:g+1]
+                    oxr, oyr, ozr = ox[g:g+1], oy[g:g+1], oz[g:g+1]
+                    # pvec = d x e2
+                    pvx = dyr * e2z - dzr * e2y
+                    pvy = dzr * e2x - dxr * e2z
+                    pvz = dxr * e2y - dyr * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    inv_det = 1.0 / det  # inf/NaN on degenerate -> rejected
+                    tvx = oxr - v0x
+                    tvy = oyr - v0y
+                    tvz = ozr - v0z
+                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                    # qvec = tvec x e1
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    v = (dxr * qvx + dyr * qvy + dzr * qvz) * inv_det
+                    tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                    valid = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (tt > eps)
+                    ta = jnp.where(valid, tt, BIG)
+                    t_best = jnp.min(ta, axis=0, keepdims=True)  # [1,128]
+                    cand = jnp.where(ta == t_best, face_iota, jnp.int32(f_pad))
+                    sel = jnp.min(cand, axis=0, keepdims=True)
+                    onehot = (face_iota == sel).astype(jnp.float32)
+                    got = jnp.dot(
+                        attr, onehot, preferred_element_type=jnp.float32
+                    )
+                    t_rows.append(t_best)
+                    attr_rows.append(got)
+
+                t_pl = jnp.concatenate(t_rows, axis=0)
+                raw = [
+                    jnp.concatenate([ar[j:j+1] for ar in attr_rows], axis=0)
+                    for j in range(11)
+                ]
+                n = (raw[0] + raw[3], raw[1] + raw[4], raw[2] + raw[5])
+                return t_pl, n, raw[6], raw[7], (raw[8], raw[9], raw[10])
+
+            def bounce_step(b, s, pu, o, d, thr, rad, active_i, rays, extra):
+                ox, oy, oz = o
+                dx, dy, dz = d
+                active = active_i > 0
+                t_pl, n_geo, kind, param, alb = intersect_tile(
+                    ox, oy, oz, dx, dy, dz
+                )
+                hit = t_pl < BIG_CUT
+                ngx, ngy, ngz = n_geo
+                front = (dx * ngx + dy * ngy + dz * ngz) < 0.0
+                sgn = jnp.where(front, 1.0, -1.0)
+                n = (ngx * sgn, ngy * sgn, ngz * sgn)
+                (o, d, thr, rad, term) = shade_and_advance(
+                    active, t_pl, hit, n, front, kind, param, alb,
+                    o, d, thr, rad, pix_u, s, b, seed, sky,
+                )
+                rays = rays + active_i
+                active_i = (active & hit & ~term).astype(jnp.int32)
+                return o, d, thr, rad, active_i, rays, extra
+
+            state = classic_wavefront(
+                bounce_step, camera_rays, spp, max_bounces, in_image,
+                sample_offset_u,
+            )
+        else:
+            # ---- grid mode: fused 3D DDA on the rotating wavefront ----
+            n_tiles_static = (n_pix + TILE - 1) // TILE
+
+            def slot_pixel(k_plane):
+                rrot = (row_ids + k_plane) & 7
+                lp = (rrot * TILE_LANES + lane_ids) * n_tiles_static + tile_idx
+                return lp + pixel_offset, lp < n_pix
+
+            def brute_globals(o, d):
+                """Unrolled scalar MT over the SMEM globals table."""
+                ox, oy, oz = o
+                dx, dy, dz = d
+                t_best = jnp.full_like(ox, BIG)
+                attrs = [jnp.zeros_like(ox) for _ in range(N_ATTRS)]
+                for gi in range(n_globals):
+                    g = [glob_ref[gi, j] for j in range(10)]
+                    (v0x_, v0y_, v0z_, e1x_, e1y_, e1z_,
+                     e2x_, e2y_, e2z_, mid_) = g
+                    pvx = dy * e2z_ - dz * e2y_
+                    pvy = dz * e2x_ - dx * e2z_
+                    pvz = dx * e2y_ - dy * e2x_
+                    det = e1x_ * pvx + e1y_ * pvy + e1z_ * pvz
+                    inv_det = 1.0 / det
+                    tvx = ox - v0x_
+                    tvy = oy - v0y_
+                    tvz = oz - v0z_
+                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                    qvx = tvy * e1z_ - tvz * e1y_
+                    qvy = tvz * e1x_ - tvx * e1z_
+                    qvz = tvx * e1y_ - tvy * e1x_
+                    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                    tt = (e2x_ * qvx + e2y_ * qvy + e2z_ * qvz) * inv_det
+                    valid = (
+                        (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (tt > eps)
+                    )
+                    tc = jnp.where(valid, tt, BIG)
+                    better = tc < t_best
+                    t_best = jnp.where(better, tc, t_best)
+                    svals = (e1x_, e1y_, e1z_, e2x_, e2y_, e2z_, mid_)
+                    attrs = [
+                        jnp.where(better, sv, av)
+                        for sv, av in zip(svals, attrs)
+                    ]
+                return t_best, tuple(attrs)
+
+            def seg_init(o, d):
+                t0, attrs0 = brute_globals(o, d)
+                march0, walk0 = tri_grid_setup(grid_static, o, d, t0)
+                return None, (t0, jnp.zeros_like(t0), attrs0), (
+                    march0, walk0,
+                )
+
+            def grid_step_fn(ray_ctx, state, o, d):
+                return tri_grid_step(
+                    grid_static, dense_ref[:],
+                    tuple(r[:] for r in tier_refs), state, o, d,
+                )
+
+            mat_iota_f = jax.lax.broadcasted_iota(
+                jnp.int32, (mat_pad, TILE_LANES), 0
+            ).astype(jnp.float32)
+            mats_b = mats_ref[:]
+
+            def hit_surface(attrs, o, d, t_safe):
+                (e1x_, e1y_, e1z_, e2x_, e2y_, e2z_, mid) = attrs
+                dx, dy, dz = d
+                ngx = e1y_ * e2z_ - e1z_ * e2y_
+                ngy = e1z_ * e2x_ - e1x_ * e2z_
+                ngz = e1x_ * e2y_ - e1y_ * e2x_
+                inv_len = jax.lax.rsqrt(
+                    jnp.maximum(
+                        _dot3(ngx, ngy, ngz, ngx, ngy, ngz),
+                        jnp.float32(1e-20),
+                    )
+                )
+                ngx, ngy, ngz = ngx * inv_len, ngy * inv_len, ngz * inv_len
+                front = _dot3(dx, dy, dz, ngx, ngy, ngz) < 0.0
+                sgn = jnp.where(front, 1.0, -1.0)
+                n = (ngx * sgn, ngy * sgn, ngz * sgn)
+                # material fetch: tiny one-hot over the unique-material table
+                rows = [[] for _ in range(5)]
+                for g in range(TILE_ROWS):
+                    onehot = (mat_iota_f == mid[g : g + 1]).astype(
+                        mats_b.dtype
+                    )
+                    got = jax.lax.dot_general(
+                        mats_b, onehot,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [8, 128]
+                    for j in range(5):
+                        rows[j].append(got[j : j + 1])
+                kind, param, ar, ag, ab = (
+                    jnp.concatenate(r, axis=0) for r in rows
+                )
+                return n, front, kind, param, (ar, ag, ab)
+
+            zero = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.float32)
+            zero_i = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32)
+            state = grid_wavefront(
+                spp=spp, max_bounces=max_bounces, width=width, seed=seed,
+                sky=sky, sample_offset_u=sample_offset_u,
+                local_pix=local_pix, row_ids=row_ids,
+                pix_u0=pix.astype(jnp.uint32),
+                slot_pixel=slot_pixel, camera_rays=camera_rays,
+                seg_init=seg_init, grid_step_fn=grid_step_fn,
+                hit_surface=hit_surface, n_attrs=N_ATTRS,
+                walk0=(zero_i, zero_i, zero_i, zero, zero, zero, zero),
+            )
         out_r_ref[:] = state["rad"][0]
         out_g_ref[:] = state["rad"][1]
         out_b_ref[:] = state["rad"][2]
@@ -182,12 +340,13 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, f_pad, n_pix):
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "max_bounces", "lens", "sky", "interpret",
-        "rows",
+        "rows", "grid_static", "n_globals",
     ),
 )
 def _render_mesh_packed(
     packed, cam_row, width, height, spp, max_bounces, seed, sample_offset,
     lens, sky, interpret, rows, row_offset,
+    grid_static=None, n_globals=0, grid_tables=None,
 ):
     n_pix = width * rows
     n_tiles = pl.cdiv(n_pix, TILE)
@@ -196,32 +355,57 @@ def _render_mesh_packed(
     meta = meta.at[0, 1].set(jnp.asarray(sample_offset, jnp.int32))
     meta = meta.at[0, 2].set(jnp.asarray(row_offset, jnp.int32) * width)
 
-    f_pad = packed.attr.shape[1]
+    if grid_static is None:
+        f_pad = packed.attr.shape[1]
+        mat_pad = 0
+    else:
+        f_pad = 0
+        mat_pad = grid_tables[-1].shape[1]
     kernel = _make_kernel(
-        width, height, spp, max_bounces, lens, sky, f_pad, n_pix
+        width, height, spp, max_bounces, lens, sky, f_pad, n_pix,
+        grid_static=grid_static, n_globals=n_globals, mat_pad=mat_pad,
     )
     plane = jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, TILE_LANES), jnp.float32)
     iplane = jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, TILE_LANES), jnp.int32)
     plane_spec = pl.BlockSpec(
         (TILE_ROWS, TILE_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    if grid_static is None:
+        inputs = [cam_row, meta, packed.cols, packed.attr]
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+    else:
+        # grid_tables = (dense, tier_table_0, ..., tier_table_k, mats)
+        inputs = [cam_row, meta, packed, *grid_tables]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]  # globals
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.VMEM)
+            for _ in range(len(grid_tables))
+        ]
     r, g, b, rays = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(plane_spec, plane_spec, plane_spec, plane_spec),
         out_shape=(plane, plane, plane, iplane),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(cam_row, meta, packed.cols, packed.attr)
+    )(*inputs)
 
+    if grid_static is not None:
+        # un-stride: kernel slot q of tile t holds pixel q*n_tiles + t
+        def unstride(arr):
+            return arr.reshape(n_tiles, TILE).T.reshape(-1)
+
+        r, g, b = unstride(r), unstride(g), unstride(b)
     flat = jnp.stack(
         [r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1
     )[:n_pix]
@@ -244,11 +428,42 @@ def render_image_mesh_pallas(
     interpret: bool = False,
     rows: int | None = None,
     row_offset=0,
+    worklist: bool | str = "auto",
 ):
-    """Drop-in for ``integrator.render_image`` on MeshScene."""
+    """Drop-in for ``integrator.render_image`` on MeshScene.
+
+    ``worklist``: "auto" builds per-voxel triangle worklists when the mesh
+    is large enough to profit (kernels/tri_worklist.py); True forces the
+    attempt, False forces brute force.
+    """
     if not jitter:
         raise NotImplementedError("mesh kernel always jitters")
-    packed = pack_mesh(mesh)
+    grid_static = None
+    grid_tables = None
+    n_globals = 0
+    if worklist in (True, "auto"):
+        import ml_dtypes
+
+        res = pack_tri_grid(mesh)
+        if res is not None:
+            pack, glob_mesh, glob_mat = res
+            grid_static = pack.static
+            grid_tables = (
+                jnp.asarray(pack.dense_map.astype(ml_dtypes.bfloat16)),
+                *(
+                    jnp.asarray(t.astype(ml_dtypes.bfloat16))
+                    for t in pack.tables
+                ),
+                jnp.asarray(pack.mats.astype(ml_dtypes.bfloat16)),
+            )
+            n_globals = int(pack.globals_idx.shape[0])
+            packed = jnp.asarray(pack_mesh_globals(glob_mesh, glob_mat))
+        elif worklist is True:
+            raise ValueError("worklist=True but the mesh is not griddable")
+        else:
+            packed = pack_mesh(mesh)
+    else:
+        packed = pack_mesh(mesh)
     cam_row = pack_camera(camera)
     return _render_mesh_packed(
         packed, cam_row, width, height, spp, max_bounces,
@@ -256,4 +471,6 @@ def render_image_mesh_pallas(
         lens, sky, interpret,
         height if rows is None else rows,
         jnp.asarray(row_offset, jnp.int32),
+        grid_static=grid_static, n_globals=n_globals,
+        grid_tables=grid_tables,
     )

@@ -26,13 +26,13 @@ from csgrenderer_tpu.render.trimesh import concat_meshes, icosphere, quad
 from csgrenderer_tpu.scene import Material
 
 
-def build_scene():
+def build_scene(subdiv: int = 2):
     return concat_meshes(
         icosphere((-1.1, 0.8, -3.2), 0.8,
-                  Material.metal((0.9, 0.8, 0.6), 0.05), 2),
-        icosphere((1.1, 0.8, -3.0), 0.8, Material.dielectric(1.5), 2),
+                  Material.metal((0.9, 0.8, 0.6), 0.05), subdiv),
+        icosphere((1.1, 0.8, -3.0), 0.8, Material.dielectric(1.5), subdiv),
         icosphere((0.0, 0.45, -1.9), 0.45,
-                  Material.lambertian((0.2, 0.35, 0.7)), 2),
+                  Material.lambertian((0.2, 0.35, 0.7)), subdiv),
         quad((-6, 0, -9), (6, 0, -9), (6, 0, 2), (-6, 0, 2),
              Material.lambertian((0.55, 0.55, 0.5))),
     )
@@ -48,6 +48,12 @@ def main(argv=None):
     ap.add_argument("--obj", default=None, help="render an OBJ file instead")
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "pallas", "jnp"])
+    ap.add_argument("--subdiv", type=int, default=2,
+                    help="icosphere subdivision (2 -> 962 faces, "
+                    "3 -> 3842; brute force OOMs past ~2000, the voxel "
+                    "worklists keep going)")
+    ap.add_argument("--worklist", default="auto", choices=["auto", "off"],
+                    help="per-voxel triangle worklists (auto) or brute")
     args = ap.parse_args(argv)
 
     if args.obj:
@@ -55,7 +61,7 @@ def main(argv=None):
 
         mesh = load_mesh(args.obj, Material.lambertian((0.6, 0.6, 0.6)))
     else:
-        mesh = build_scene()
+        mesh = build_scene(args.subdiv)
     cam = Camera.look_at((0.0, 1.6, 2.2), (0.0, 0.7, -2.6),
                          vfov_degrees=45.0,
                          aspect_ratio=args.width / args.height)
@@ -71,7 +77,8 @@ def main(argv=None):
 
         img, rays = render_image_mesh_pallas(
             mesh, cam, args.width, args.height, spp=args.spp,
-            max_bounces=args.bounces, seed=7)
+            max_bounces=args.bounces, seed=7,
+            worklist=False if args.worklist == "off" else "auto")
     else:
         from csgrenderer_tpu.render import render_image
 

@@ -1,0 +1,195 @@
+"""Per-voxel triangle worklists (kernels/tri_worklist.py): packer
+invariants, DDA-walk fuzz vs brute Möller-Trumbore, full-kernel parity,
+and slab sharding of the grid path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from csgrenderer_tpu.camera import Camera
+from csgrenderer_tpu.kernels import render_image_mesh_pallas
+from csgrenderer_tpu.kernels.common import BIG
+from csgrenderer_tpu.kernels.tri_worklist import (
+    N_SECTIONS,
+    PAD_CI,
+    _tri_box_overlap,
+    emit_tri_grid_walk,
+    pack_tri_grid,
+)
+from csgrenderer_tpu.render import render_image
+from csgrenderer_tpu.render.trimesh import concat_meshes, icosphere, quad
+from csgrenderer_tpu.scene import Material
+
+
+def demo_mesh(sub=2):
+    return concat_meshes(
+        icosphere((-1.1, 0.8, -3.2), 0.8,
+                  Material.metal((0.9, 0.8, 0.6), 0.05), sub),
+        icosphere((1.1, 0.8, -3.0), 0.8, Material.dielectric(1.5), sub),
+        icosphere((0.0, 0.45, -1.9), 0.45,
+                  Material.lambertian((0.2, 0.35, 0.7)), sub),
+        quad((-6, 0, -9), (6, 0, -9), (6, 0, 2), (-6, 0, 2),
+             Material.lambertian((0.55, 0.55, 0.5))),
+    )
+
+
+def bf16_tables(pack):
+    import ml_dtypes
+
+    dense = jnp.asarray(pack.dense_map.astype(ml_dtypes.bfloat16))
+    tabs = tuple(
+        jnp.asarray(t.astype(ml_dtypes.bfloat16)) for t in pack.tables
+    )
+    return dense, tabs
+
+
+def test_sat_overlap_basics():
+    # unit triangle in z=0 plane; boxes around/away from it
+    v0 = np.array([0.0, 0.0, 0.0])
+    v1 = np.array([1.0, 0.0, 0.0])
+    v2 = np.array([0.0, 1.0, 0.0])
+    centers = np.array([
+        [0.25, 0.25, 0.0],   # on the triangle
+        [5.0, 5.0, 0.0],     # far away in-plane
+        [0.25, 0.25, 2.0],   # above the plane
+        [0.9, 0.9, 0.0],     # near the hypotenuse, just outside
+    ])
+    got = _tri_box_overlap(v0, v1, v2, centers, 0.2)
+    assert got.tolist() == [True, False, False, False]
+
+
+def test_packer_invariants():
+    mesh = demo_mesh()
+    pack, glob_mesh, glob_mat = pack_tri_grid(mesh)
+    gs = pack.static
+    # the floor quad's huge faces must be brute-forced, not gridded
+    assert glob_mesh.v0.shape[0] == pack.globals_idx.shape[0]
+    assert pack.globals_idx.shape[0] >= 2
+    # every face is accounted for: count slots with nonzero mat-or-geometry
+    gridded = 0
+    for (m, w, off), tab in zip(gs.tiers, pack.tables):
+        geom = tab[: 18 * m].reshape(18, m, w)
+        gridded += int((np.abs(geom).sum(axis=0) > 0).sum())
+    # gridded counts (face, voxel) PAIRS >= number of gridded faces
+    assert gridded >= mesh.num_faces - pack.globals_idx.shape[0]
+    # dense map: every non-pad value decodes to a valid compact id
+    ci = pack.dense_map[0] + pack.dense_map[1]
+    real = ci[ci < PAD_CI]
+    assert real.size > 0 and real.max() < gs.n_compact
+    # tier offsets tile the compact id space
+    off = 0
+    for m, w, toff in gs.tiers:
+        assert toff == off
+        off += w
+    assert off == gs.n_compact
+
+
+def test_walk_matches_brute_mt_fuzz():
+    mesh = demo_mesh()
+    pack, glob_mesh, _ = pack_tri_grid(mesh)
+    gs = pack.static
+    dense, tabs = bf16_tables(pack)
+
+    rng = np.random.default_rng(0)
+    n = 1024
+    o = rng.uniform([-3, 0.1, -5], [3, 2.5, 1], (n, 3)).astype(np.float32)
+    tgt = rng.uniform([-2, 0, -4], [2, 1.6, -1], (n, 3)).astype(np.float32)
+    d = (tgt - o).astype(np.float32)
+
+    gidx = set(pack.globals_idx.tolist())
+    keep = np.asarray(
+        [i for i in range(mesh.num_faces) if i not in gidx]
+    )
+    v0 = np.asarray(mesh.v0)[keep]
+    e1 = np.asarray(mesh.e1)[keep]
+    e2 = np.asarray(mesh.e2)[keep]
+    pv = np.cross(d[:, None, :], e2[None])
+    det = np.sum(e1[None] * pv, axis=-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = 1.0 / det
+        tv = o[:, None, :] - v0[None]
+        u = np.sum(tv * pv, axis=-1) * inv
+        qv = np.cross(tv, e1[None])
+        v = np.sum(d[:, None, :] * qv, axis=-1) * inv
+        t = np.sum(e2[None] * qv, axis=-1) * inv
+    ok = (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-3)
+    t_ref = np.where(ok, t, 1e30).min(axis=1)
+
+    op = tuple(jnp.asarray(o[:, i].reshape(8, 128)) for i in range(3))
+    dp = tuple(jnp.asarray(d[:, i].reshape(8, 128)) for i in range(3))
+    t0 = jnp.full((8, 128), BIG)
+    t_w, _ = jax.jit(
+        lambda op, dp, t0: emit_tri_grid_walk(gs, dense, tabs, op, dp, t0)
+    )(op, dp, t0)
+    t_w = np.asarray(t_w).reshape(-1)
+
+    hit_ref = t_ref < 1e29
+    hit_w = t_w < 5e29
+    # bf16 table reconstruction can flip razor-thin silhouette hits; allow
+    # a tiny disagreement budget, require exact t's where both agree
+    assert (hit_ref == hit_w).mean() > 0.999
+    both = hit_ref & hit_w
+    rel = np.abs(t_w[both] - t_ref[both]) / np.maximum(t_ref[both], 1e-6)
+    assert rel.max() < 5e-3
+
+
+@pytest.mark.parametrize("sub", [2])
+def test_grid_kernel_matches_reference(sub):
+    mesh = demo_mesh(sub)
+    cam = Camera.look_at(
+        (0.0, 1.6, 2.2), (0.0, 0.7, -2.6),
+        vfov_degrees=45.0, aspect_ratio=64 / 36,
+    )
+    img_g, rays_g = render_image_mesh_pallas(
+        mesh, cam, 64, 36, spp=4, max_bounces=4, seed=7,
+        interpret=True, worklist=True,
+    )
+    img_j, rays_j = render_image(
+        mesh.nearest_hit, cam, 64, 36, spp=4, max_bounces=4, seed=7
+    )
+    assert int(rays_g) == int(rays_j)  # same paths traced
+    rmse = float(np.sqrt(np.mean((np.asarray(img_g) - np.asarray(img_j)) ** 2)))
+    assert rmse < 1.5e-3  # bf16 table noise only
+
+
+def test_grid_kernel_slab_sharding():
+    """Rendering two half-height slabs == the full frame (the multi-chip
+    row-sharding primitive), on the grid path."""
+    mesh = demo_mesh()
+    cam = Camera.look_at(
+        (0.0, 1.6, 2.2), (0.0, 0.7, -2.6),
+        vfov_degrees=45.0, aspect_ratio=64 / 32,
+    )
+    full, _ = render_image_mesh_pallas(
+        mesh, cam, 64, 32, spp=2, max_bounces=3, seed=3,
+        interpret=True, worklist=True,
+    )
+    top, _ = render_image_mesh_pallas(
+        mesh, cam, 64, 32, spp=2, max_bounces=3, seed=3,
+        interpret=True, worklist=True, rows=16, row_offset=0,
+    )
+    bot, _ = render_image_mesh_pallas(
+        mesh, cam, 64, 32, spp=2, max_bounces=3, seed=3,
+        interpret=True, worklist=True, rows=16, row_offset=16,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full), np.concatenate([np.asarray(top), np.asarray(bot)])
+    )
+
+
+def test_small_mesh_declines_grid():
+    mesh = icosphere((0, 0, -3), 1.0, Material.normal_map(), 1)  # 80 faces
+    assert pack_tri_grid(mesh) is None
+    with pytest.raises(ValueError):
+        render_image_mesh_pallas(
+            mesh,
+            Camera.look_at((0, 0, 0), (0, 0, -1), vfov_degrees=60,
+                           aspect_ratio=1.0),
+            16, 16, spp=1, worklist=True,
+        )
+
+
+def test_sections_constant():
+    # the kernel's section unpacking is hand-indexed; pin the layout
+    assert N_SECTIONS == 19
