@@ -171,6 +171,7 @@ def camera_ray_planes(cam, px, py, pix_u, s_plane, seed, inv_w, inv_h, lens):
 def shade_and_advance(
     mask, t, hit, n, front, kind, param, alb,
     o, d, thr, rad, pix_u, cur_s, b_plane, seed, sky,
+    suppress_emit=None,
 ):
     """The shared per-segment shading tail of every wavefront kernel:
     RNG -> material scatter -> sky/emission accumulation -> path advance.
@@ -178,8 +179,10 @@ def shade_and_advance(
     ``mask``: which lanes shade this wave (active lanes in the classic loop,
     finished-marching lanes in the fused-DDA loop). ``n`` must already be
     the unit shading normal opposing d; ``front`` the solid-level
-    front-face flag. Returns (o, d, thr, rad, term) with updates applied
-    only under ``mask & hit`` / ``mask & ~hit`` as appropriate.
+    front-face flag. ``suppress_emit``: optional bool plane zeroing the
+    EMISSION term only (NEE double-count removal — the sky is unaffected).
+    Returns (o, d, thr, rad, term) with updates applied only under
+    ``mask & hit`` / ``mask & ~hit`` as appropriate.
     """
     ox, oy, oz = o
     dx, dy, dz = d
@@ -193,6 +196,10 @@ def shade_and_advance(
     (ndx, ndy, ndz), (atr, atg, atb), (emr, emg, emb), term, ud = (
         scatter_planes(kind, param, alb, (dx, dy, dz), n, front, u0, u1, u2)
     )
+    if suppress_emit is not None:
+        emr = jnp.where(suppress_emit, 0.0, emr)
+        emg = jnp.where(suppress_emit, 0.0, emg)
+        emb = jnp.where(suppress_emit, 0.0, emb)
     skr, skg, skb = sky_planes(ud, sky)
 
     t_safe = jnp.where(hit, t, 1.0)
@@ -352,6 +359,92 @@ def classic_wavefront(
         return out
 
     return jax.lax.while_loop(wave_cond, wave_step, state0)
+
+
+def nee_planes(
+    light_scal, n_lights, p, n, alb, occlusion_t,
+    pix_u, cur_s, b_plane, seed,
+):
+    """Next-event estimation on planes — the kernel twin of
+    render/lights.nee_contribution (same math, same RNG counters, so the
+    kernels validate against the jnp reference).
+
+    ``light_scal``: per-light lists of 8 SMEM scalars (cx, cy, cz, r,
+    er, eg, eb, pad). ``occlusion_t(p, dir) -> t planes``: the scene's
+    nearest-hit distance along a unit direction (shadow test only — no
+    attributes). Returns (dr, dg, db) direct-light radiance planes
+    (multiply by path throughput under the caller's lambertian mask).
+    """
+    px, py, pz = p
+    nx, ny, nz = n
+    ar, ag, ab = alb
+    eps = np.float32(1e-3)
+    two_pi = jnp.float32(2.0 * np.pi)
+
+    u0, u1, u2, _ = pcg4d_planes(
+        pix_u, cur_s,
+        b_plane | jnp.uint32(0x80000000),  # decouple from scatter RNG
+        jnp.broadcast_to(seed.astype(jnp.uint32), cur_s.shape),
+    )
+    # light pick: unrolled where-chain over the (few) lights
+    li = jnp.minimum(
+        (u0 * np.float32(n_lights)).astype(jnp.int32), n_lights - 1
+    )
+    zero = jnp.zeros_like(px)
+    cx = cy = cz = r_ = er = eg = eb = zero
+    for i in range(n_lights):
+        s = light_scal[i]
+        pick = li == i
+        cx = jnp.where(pick, s[0], cx)
+        cy = jnp.where(pick, s[1], cy)
+        cz = jnp.where(pick, s[2], cz)
+        r_ = jnp.where(pick, s[3], r_)
+        er = jnp.where(pick, s[4], er)
+        eg = jnp.where(pick, s[5], eg)
+        eb = jnp.where(pick, s[6], eb)
+
+    # cone sampling toward the sphere (render/lights.sample_sphere_cone)
+    tox, toy, toz = cx - px, cy - py, cz - pz
+    dist2 = dot3(tox, toy, toz, tox, toy, toz)
+    r2 = r_ * r_
+    outside = dist2 > r2 * np.float32(1.0 + 1e-6)
+    cos_max = jnp.sqrt(
+        jnp.maximum(0.0, 1.0 - r2 / jnp.maximum(dist2, jnp.float32(1e-20)))
+    )
+    z = 1.0 + u2 * (cos_max - 1.0)
+    phi = two_pi * u1
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    inv_len = jax.lax.rsqrt(jnp.maximum(dist2, jnp.float32(1e-20)))
+    wx, wy, wz = tox * inv_len, toy * inv_len, toz * inv_len
+    sign = jnp.where(wz >= 0.0, 1.0, -1.0)
+    a_ = -1.0 / (sign + wz)
+    b_ = wx * wy * a_
+    t0x, t0y, t0z = 1.0 + sign * wx * wx * a_, sign * b_, -sign * wx
+    t1x, t1y, t1z = b_, sign + wy * wy * a_, -wy
+    cp, sp = jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t
+    ldx = cp * t0x + sp * t1x + z * wx
+    ldy = cp * t0y + sp * t1y + z * wy
+    ldz = cp * t0z + sp * t1z + z * wz
+    inv_pdf = jnp.where(outside, two_pi * (1.0 - cos_max), 0.0)
+
+    # analytic hit distance on the sampled lamp (identity-free shadow
+    # target, render/lights.sphere_ray_t)
+    half_b = -(tox * ldx + toy * ldy + toz * ldz)  # oc = p - c = -to_c
+    cc = dist2 - r2
+    sq = jnp.sqrt(half_b * half_b - cc)  # NaN on miss -> rejected
+    tl0 = -half_b - sq
+    tl1 = -half_b + sq
+    tl = jnp.where(tl0 > eps, tl0, tl1)
+    tl = jnp.where(tl > eps, tl, BIG)
+
+    t_occ = occlusion_t((px, py, pz), (ldx, ldy, ldz))
+    occluded = t_occ < tl * np.float32(1.0 - 1e-4)
+    cos = dot3(nx, ny, nz, ldx, ldy, ldz)
+    ok = (cos > 0.0) & (inv_pdf > 0.0) & (tl < BIG_CUT) & ~occluded
+    scale = jnp.where(
+        ok, cos * inv_pdf * np.float32(n_lights / np.pi), 0.0
+    )
+    return ar * er * scale, ag * eg * scale, ab * eb * scale
 
 
 def grid_wavefront(

@@ -66,13 +66,14 @@ from .common import (
     classic_wavefront,
     dot3 as _dot3,
     grid_wavefront,
+    nee_planes,
     shade_and_advance,
 )
 from .worklist import grid_setup, grid_step, pack_grid
 
 
 def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
-                 grid_static=None, n_globals=0):
+                 grid_static=None, n_globals=0, n_lights=0):
     """Build the kernel body with static config baked in.
 
     ``grid_static``: a worklist.GridStatic — when set, ``cols_ref`` holds
@@ -94,6 +95,8 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
         if grid_static is not None:
             (glob_ref, grid_ref, out_r_ref, out_g_ref, out_b_ref,
              rays_ref) = rest
+        elif n_lights:
+            (lights_ref, out_r_ref, out_g_ref, out_b_ref, rays_ref) = rest
         else:
             (out_r_ref, out_g_ref, out_b_ref, rays_ref) = rest
         tile_idx = pl.program_id(0)
@@ -324,6 +327,29 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
             t_pl = jnp.concatenate(t_rows, axis=0)  # [8,128]
             return t_pl, _unpack_attr_rows(attr_rows)
 
+        def occlusion_t(p, ld):
+            """Shadow-test nearest-hit distance (unit dir, no attributes):
+            the brute quadratic over all spheres, t only."""
+            px_, py_, pz_ = p
+            ldx, ldy, ldz = ld
+            od = _dot3(px_, py_, pz_, ldx, ldy, ldz)
+            oo = _dot3(px_, py_, pz_, px_, py_, pz_)
+            t_rows = []
+            for g in range(TILE_ROWS):
+                c_dot_d = cxb * ldx[g:g+1] + cyb * ldy[g:g+1] + czb * ldz[g:g+1]
+                c2_dot_o = c2xb * px_[g:g+1] + c2yb * py_[g:g+1] + c2zb * pz_[g:g+1]
+                half_b = od[g:g+1] - c_dot_d
+                cterm = oo[g:g+1] - c2_dot_o + ccr2b
+                disc = half_b * half_b - cterm  # unit dir: a == 1
+                sq = jnp.sqrt(disc)
+                ta0 = -half_b - sq
+                ta1 = -half_b + sq
+                eps_ = jnp.float32(1e-3)
+                ta = jnp.where(ta0 > eps_, ta0, ta1)
+                ta = jnp.where(ta > eps_, ta, BIG)
+                t_rows.append(jnp.min(ta, axis=0, keepdims=True))
+            return jnp.concatenate(t_rows, axis=0)
+
         def bounce_step(b, s, pu, o, d, thr, rad, active_i, rays, extra):
             """One bounce for the whole tile (classic_wavefront callback)."""
             ox, oy, oz = o
@@ -346,10 +372,38 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
             sgn = jnp.where(front, 1.0, -1.0)
             n = (onx * sgn, ony * sgn, onz * sgn)
 
+            suppress = None
+            if n_lights:
+                # NEE: direct light at lambertian hits; emission of lamps
+                # reached BY a lambertian scatter is suppressed below
+                # (prev_diffuse rides in ``extra``; b == 0 = fresh camera
+                # ray, whose stale flag must not suppress)
+                prev_diffuse = extra > 0
+                suppress = prev_diffuse & (b > jnp.uint32(0))
+                hpx = ox + t_safe * dx
+                hpy = oy + t_safe * dy
+                hpz = oz + t_safe * dz
+                light_scal = [
+                    [lights_ref[i, j] for j in range(7)]
+                    for i in range(n_lights)
+                ]
+                dr, dg, db = nee_planes(
+                    light_scal, n_lights, (hpx, hpy, hpz), n,
+                    (ar, ag, ab), occlusion_t,
+                    pix_u if pu is None else pu, s, b, seed,
+                )
+                is_lam = kind == 1.0
+                nee_mask = active & hit & is_lam
+                rr = rr + jnp.where(nee_mask, tr * dr, 0.0)
+                rg = rg + jnp.where(nee_mask, tg * dg, 0.0)
+                rb = rb + jnp.where(nee_mask, tb * db, 0.0)
+                extra = nee_mask.astype(jnp.int32)
+
             (o2, d2, thr2, rad2, term) = shade_and_advance(
                 active, t_pl, hit, n, front, kind, param, (ar, ag, ab),
                 (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), (rr, rg, rb),
                 pix_u if pu is None else pu, s, b, seed, sky,
+                suppress_emit=suppress,
             )
             (ox, oy, oz), (dx, dy, dz) = o2, d2
             (tr, tg, tb), (rr, rg, rb) = thr2, rad2
@@ -371,9 +425,12 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
 
         if grid_static is None:
             # the classic wavefront loop is the shared scaffold in common.py
+            extra0 = None
+            if n_lights:
+                extra0 = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32)
             state = classic_wavefront(
                 bounce_step, camera_rays, spp, max_bounces, in_image,
-                sample_offset_u,
+                sample_offset_u, extra0=extra0,
             )
         else:
             # fused-DDA wavefront (common.grid_wavefront): one grid cell per
@@ -522,7 +579,7 @@ def pack_camera(camera: Camera) -> jax.Array:
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "max_bounces", "lens", "sky", "interpret",
-        "rows", "grid_static", "n_globals",
+        "rows", "grid_static", "n_globals", "n_lights",
     ),
 )
 def _render_packed(
@@ -542,6 +599,8 @@ def _render_packed(
     grid_static=None,
     grid_table=None,
     n_globals=0,
+    lights_tab=None,
+    n_lights=0,
 ):
     n_pix = width * rows  # this slab's pixel count (rows == height unsharded)
     n_tiles = pl.cdiv(n_pix, TILE)
@@ -553,7 +612,7 @@ def _render_packed(
     s_pad = packed.attr.shape[1]  # static via the array shape
     kernel = _make_kernel(
         width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
-        grid_static=grid_static, n_globals=n_globals,
+        grid_static=grid_static, n_globals=n_globals, n_lights=n_lights,
     )
     out_shape = (
         jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, TILE_LANES), jnp.float32),
@@ -578,6 +637,9 @@ def _render_packed(
         inputs.append(packed.cols)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # worklists
         inputs.append(grid_table)
+    elif n_lights:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # lights
+        inputs.append(lights_tab)
     r, g, b, rays = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -624,6 +686,7 @@ def render_image_pallas(
     rows: int | None = None,
     row_offset=0,
     worklist: bool | str = "auto",
+    nee: bool = False,
 ):
     """Drop-in for ``integrator.render_image`` on SphereScene.
 
@@ -636,9 +699,28 @@ def render_image_pallas(
     ``worklist``: "auto" builds per-cell grid worklists when the scene shape
     profits (many small slab-confined spheres — kernels/worklist.py); True
     forces the attempt, False forces pure brute force.
+
+    ``nee=True`` enables next-event estimation toward the scene's emissive
+    spheres (render/lights.py; brute path only — the shadow ray reuses the
+    broadcast sphere tables, so ``worklist`` is forced off).
     """
     if not jitter:
         raise NotImplementedError("megakernel always jitters (spp>=1)")
+    lights_tab = None
+    n_lights = 0
+    if nee:
+        from ..render.lights import extract_lights
+
+        lights = extract_lights(scene)
+        if lights is None:
+            raise ValueError("nee=True but the scene has no emissive spheres")
+        n_lights = lights.num_lights
+        tab = np.zeros((n_lights, 8), np.float32)
+        tab[:, 0:3] = np.asarray(lights.centers)
+        tab[:, 3] = np.asarray(lights.radii)
+        tab[:, 4:7] = np.asarray(lights.emit)
+        lights_tab = jnp.asarray(tab)
+        worklist = False  # shadow rays ride the brute broadcast tables
     grid_static = None
     grid_table = None
     n_glob = 0
@@ -670,4 +752,6 @@ def render_image_pallas(
         grid_static=grid_static,
         grid_table=grid_table,
         n_globals=0 if grid_static is None else n_glob,
+        lights_tab=lights_tab,
+        n_lights=n_lights,
     )

@@ -2,6 +2,7 @@ from .scenes import (
     animated_csg_scene,
     config3_csg_scene,
     milestone01_scene_graph,
+    night_scene,
     rtiow_final_scene,
     two_spheres_scene,
 )
@@ -12,4 +13,5 @@ __all__ = [
     "config3_csg_scene",
     "rtiow_final_scene",
     "animated_csg_scene",
+    "night_scene",
 ]

@@ -123,6 +123,51 @@ def rtiow_final_scene(seed: int = 42, grid: int = 11) -> SphereScene:
     )
 
 
+def night_scene(seed: int = 7, grid: int = 6) -> SphereScene:
+    """Emissive-lit variant of the RTIOW lattice: black sky, two sphere
+    lamps over a field of diffuse/metal/glass spheres. The showcase scene
+    for next-event estimation (render/lights.py, demo8) — without NEE a
+    path only finds the lamps by chance.
+    """
+    rng = np.random.default_rng(seed)
+    centers, radii, kinds, albedos, params = [], [], [], [], []
+
+    def add(c, r, kind, alb, prm=0.0):
+        centers.append(c)
+        radii.append(r)
+        kinds.append(kind)
+        albedos.append(alb)
+        params.append(prm)
+
+    add([0.0, -1000.0, 0.0], 1000.0, 1, [0.5, 0.5, 0.5])  # ground
+
+    for a in range(-grid, grid):
+        for b in range(-grid, grid):
+            choose = rng.random()
+            center = [a + 0.9 * rng.random(), 0.2, b + 0.9 * rng.random()]
+            if choose < 0.7:  # diffuse
+                alb = (rng.random(3) * rng.random(3)).tolist()
+                add(center, 0.2, 1, alb)
+            elif choose < 0.9:  # metal
+                alb = (0.5 + 0.5 * rng.random(3)).tolist()
+                add(center, 0.2, 2, alb, 0.4 * rng.random())
+            else:  # glass
+                add(center, 0.2, 3, [1.0, 1.0, 1.0], 1.5)
+
+    # lamps: a warm key light and a cool fill
+    add([2.0, 2.6, 1.0], 0.6, 4, [14.0, 11.0, 7.0])
+    add([-3.0, 1.6, -2.0], 0.35, 4, [3.0, 5.0, 9.0])
+    add([0.0, 0.9, 0.0], 0.9, 2, [0.8, 0.8, 0.9], 0.05)  # metal hero
+
+    return SphereScene(
+        centers=jnp.asarray(np.array(centers, np.float32)),
+        radii=jnp.asarray(np.array(radii, np.float32)),
+        mat_kind=jnp.asarray(np.array(kinds, np.int32)),
+        albedo=jnp.asarray(np.array(albedos, np.float32)),
+        mat_param=jnp.asarray(np.array(params, np.float32)),
+    )
+
+
 def animated_csg_scene(n_levels: int = 8):
     """Config 5: a depth-``n_levels`` CSG tree whose edges animate over time.
 

@@ -137,8 +137,17 @@ def trace_paths(
     max_bounces: int,
     sky: str = "rtiow",
     eps: float = 1e-3,
+    lights=None,
 ) -> tuple[Array, Array]:
-    """Iterative bounce loop. Returns (radiance [..., 3], rays_traced [])."""
+    """Iterative bounce loop. Returns (radiance [..., 3], rays_traced []).
+
+    ``lights``: an optional render.lights.SphereLights — enables next-event
+    estimation: every lambertian hit additionally samples one emissive
+    sphere directly (shadow ray per bounce, ~2x intersection cost), and a
+    lambertian-scattered ray that then hits a lamp skips the lamp's
+    emission so nothing is double-counted. Identical expectation, far
+    lower variance on emissive-lit (black-sky) scenes.
+    """
     batch = o.shape[:-1]
     state = dict(
         o=o,
@@ -146,6 +155,7 @@ def trace_paths(
         throughput=jnp.ones(batch + (3,), jnp.float32),
         radiance=jnp.zeros(batch + (3,), jnp.float32),
         active=jnp.ones(batch, bool),
+        prev_diffuse=jnp.zeros(batch, bool),
         rays=jnp.zeros((), jnp.int64 if jax.config.x64_enabled else jnp.int32),
     )
 
@@ -168,9 +178,36 @@ def trace_paths(
         radiance = radiance + jnp.where(
             missed[..., None], s["throughput"] * sky_color(s["d"], sky), 0.0
         )
+        if lights is None:
+            emit_mask = hit_active
+        else:
+            # NEE accounted the direct hit on a lamp at the previous
+            # (lambertian) vertex already — skip its emission here
+            emit_mask = hit_active & ~s["prev_diffuse"]
         radiance = radiance + jnp.where(
-            hit_active[..., None], s["throughput"] * sc.emitted, 0.0
+            emit_mask[..., None], s["throughput"] * sc.emitted, 0.0
         )
+
+        is_lam = h.mat_kind == 1
+        if lights is not None:
+            from .lights import nee_contribution
+
+            t_safe_ = jnp.where(h.hit, h.t, 1.0)
+            p = s["o"] + t_safe_[..., None] * s["d"]
+            ul = uniform4(
+                pixel_id,
+                sample_id,
+                jnp.uint32(b) | jnp.uint32(0x80000000),  # decouple from scatter
+                jnp.uint32(seed & 0xFFFFFFFF),
+            )
+            direct = nee_contribution(
+                hit_fn, p, h.normal, h.albedo, lights, ul
+            )
+            nee_mask = hit_active & is_lam
+            radiance = radiance + jnp.where(
+                nee_mask[..., None], s["throughput"] * direct, 0.0
+            )
+
         throughput = jnp.where(
             hit_active[..., None], s["throughput"] * sc.attenuation, s["throughput"]
         )
@@ -187,6 +224,7 @@ def trace_paths(
             throughput=throughput,
             radiance=radiance,
             active=still_active,
+            prev_diffuse=still_active & is_lam,
             rays=s["rays"] + jnp.sum(active.astype(s["rays"].dtype)),
         )
 
@@ -212,6 +250,7 @@ def render_tile(
     jitter: bool = True,
     lens: bool = False,
     sample_offset=0,
+    lights=None,
 ) -> tuple[Array, Array]:
     """Render a sub-rectangle of a ``full_width x full_height`` image.
 
@@ -254,6 +293,7 @@ def render_tile(
             seed,
             max_bounces,
             sky=sky,
+            lights=lights,
         )
         return acc[0] + radiance, acc[1] + rays
 
@@ -276,6 +316,7 @@ def render_image(
     jitter: bool = True,
     lens: bool = False,
     sample_offset=0,
+    lights=None,
 ) -> tuple[Array, Array]:
     """Render a linear-radiance image [H, W, 3]; also returns rays traced.
 
@@ -300,6 +341,7 @@ def render_image(
         jitter=jitter,
         lens=lens,
         sample_offset=sample_offset,
+        lights=lights,
     )
     return image_sum / spp, rays
 

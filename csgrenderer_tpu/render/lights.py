@@ -1,0 +1,142 @@
+"""Next-event estimation (direct light sampling) for emissive spheres.
+
+The reference has no lights at all (`Wo_Material` is declared and unused,
+renderer.h:16); the RTIOW material set this framework implements includes
+EMISSIVE (kind 4), and for emissive-lit scenes (black sky, small lamps)
+plain unidirectional path tracing only finds light by randomly hitting a
+lamp — variance scales with 1/solid-angle. NEE samples the lamps directly:
+
+- at every LAMBERTIAN hit, pick one emissive sphere uniformly and sample a
+  direction in the cone it subtends (RTIOW book 3's sphere pdf:
+  pdf = 1 / (2 pi (1 - cos_theta_max)));
+- trace a shadow ray; the light is visible iff the scene's nearest hit is
+  not strictly closer than the analytic hit on the sampled lamp itself
+  (identity-free occlusion test — no hit indices needed);
+- add throughput * albedo/pi * cos * L_e * (n_lights / pdf);
+- to stay unbiased, a lambertian-SCATTERED ray that then hits a lamp
+  skips the lamp's emission (direct light was already accounted; specular
+  chains and camera rays keep emission).
+
+This estimator is exact for scenes whose emitters are spheres; emissive
+non-sphere leaves simply keep the BSDF-sampling path. The math here is
+shared by the jnp reference integrator and the Pallas megakernel (plane
+formulation in kernels/megakernel.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from ..math import vec
+
+
+class SphereLights(NamedTuple):
+    """Struct-of-arrays emissive-sphere list (host-extracted)."""
+
+    centers: Array  # [L, 3]
+    radii: Array  # [L] (positive)
+    emit: Array  # [L, 3] radiance
+
+    @property
+    def num_lights(self) -> int:
+        return self.centers.shape[0]
+
+
+def extract_lights(scene) -> SphereLights | None:
+    """Emissive spheres of a SphereScene, or None if the scene has none.
+
+    Host-side numpy (never traced): the light list is static scene data,
+    like the kernels' packed tables.
+    """
+    kind = np.asarray(scene.mat_kind)
+    emi = kind == 4
+    if not emi.any():
+        return None
+    alb = np.asarray(scene.albedo, np.float32)
+    return SphereLights(
+        centers=np.asarray(scene.centers, np.float32)[emi],
+        radii=np.abs(np.asarray(scene.radii, np.float32)[emi]),
+        emit=alb[emi],
+    )
+
+
+def sample_sphere_cone(p: Array, c: Array, r, u1: Array, u2: Array):
+    """Sample a direction from ``p`` toward sphere (c, r) uniformly in its
+    subtended cone. Returns (unit direction [..., 3], inv_pdf [...]) with
+    inv_pdf = 2 pi (1 - cos_theta_max); inv_pdf = 0 when p is inside the
+    sphere (no valid cone — callers drop the sample)."""
+    to_c = c - p
+    dist2 = vec.dot(to_c, to_c)
+    r2 = r * r
+    outside = dist2 > r2 * jnp.float32(1.0 + 1e-6)
+    cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - r2 / jnp.maximum(dist2, 1e-20)))
+    z = 1.0 + u2 * (cos_max - 1.0)  # cos(theta) uniform in [cos_max, 1]
+    phi = jnp.float32(2.0 * np.pi) * u1
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+
+    w = vec.normalized(to_c, eps=1e-20)
+    # ONB around w (branchless Frisvad-style via sign trick)
+    sign = jnp.where(w[..., 2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + w[..., 2])
+    b = w[..., 0] * w[..., 1] * a
+    t0 = jnp.stack(
+        [1.0 + sign * w[..., 0] * w[..., 0] * a, sign * b, -sign * w[..., 0]],
+        axis=-1,
+    )
+    t1 = jnp.stack([b, sign + w[..., 1] * w[..., 1] * a, -w[..., 1]], axis=-1)
+
+    d = (
+        (jnp.cos(phi) * sin_t)[..., None] * t0
+        + (jnp.sin(phi) * sin_t)[..., None] * t1
+        + z[..., None] * w
+    )
+    inv_pdf = jnp.where(
+        outside, jnp.float32(2.0 * np.pi) * (1.0 - cos_max), 0.0
+    )
+    return d, inv_pdf
+
+
+def sphere_ray_t(p: Array, d: Array, c: Array, r, eps: float = 1e-3) -> Array:
+    """Nearest positive intersection t of a UNIT-direction ray with sphere
+    (c, r); BIG (1e30) on miss. The shadow test's identity-free target
+    distance."""
+    oc = p - c
+    half_b = vec.dot(oc, d)
+    cc = vec.dot(oc, oc) - r * r
+    disc = half_b * half_b - cc
+    sq = jnp.sqrt(disc)  # NaN on miss -> comparisons reject
+    t0 = -half_b - sq
+    t1 = -half_b + sq
+    t = jnp.where(t0 > eps, t0, t1)
+    return jnp.where(t > eps, t, jnp.float32(1e30))
+
+
+def nee_contribution(hit_fn, p, n, albedo, lights: SphereLights, u):
+    """Direct-light estimate at a lambertian hit point.
+
+    ``u``: [..., 3] uniforms (light pick, cone u1, cone u2). Returns
+    [..., 3] radiance (already BRDF- and pdf-weighted; multiply by path
+    throughput and the lambertian mask).
+    """
+    nl = lights.num_lights
+    li = jnp.minimum((u[..., 0] * nl).astype(jnp.int32), nl - 1)
+    # the light table may be host numpy (extract_lights) — lift for the
+    # traced gather
+    c = jnp.asarray(lights.centers)[li]
+    r = jnp.asarray(lights.radii)[li]
+    e = jnp.asarray(lights.emit)[li]
+
+    d, inv_pdf = sample_sphere_cone(p, c, r, u[..., 1], u[..., 2])
+    cos = vec.dot(n, d)
+    t_light = sphere_ray_t(p, d, c, r)
+    sh = hit_fn(p, d)
+    occluded = sh.hit & (sh.t < t_light * (1.0 - 1e-4))
+    ok = (cos > 0.0) & (inv_pdf > 0.0) & (t_light < 1e29) & ~occluded
+    scale = jnp.where(
+        ok, cos * inv_pdf * jnp.float32(nl / np.pi), 0.0
+    )
+    return albedo * e * scale[..., None]
