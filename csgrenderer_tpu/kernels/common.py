@@ -465,6 +465,7 @@ def grid_wavefront(
     hit_surface,
     n_attrs,
     walk0,
+    steps_per_iter=1,
 ):
     """The fused-DDA wavefront loop shared by the grid-worklist kernels
     (sphere megakernel, triangle-mesh kernel).
@@ -576,11 +577,18 @@ def grid_wavefront(
             lambda new, old: jnp.where(fresh, new, old), walk_n, st["walk"]
         )
 
-        # 4. ONE DDA step for every lane (finished lanes fetch pad)
-        (march, walk, t_best, id_best, attrs) = grid_step_fn(
-            ray_ctx, (march, walk, t_best, id_best, attrs),
-            (ox, oy, oz), (dx, dy, dz),
-        )
+        # 4. ``steps_per_iter`` DDA steps for every lane (finished lanes
+        # fetch pad). The scaffolding around the walk — regen, camera rays,
+        # seg init, shade, scatter, the loop-state selects — is ~2/3 of the
+        # iteration cost (measured census, doc/PERF_NOTES), so segments
+        # needing 2+ cells amortize it over several steps per iteration;
+        # two sequential steps are value-identical to two iterations of
+        # marching, so output is bit-identical to steps_per_iter=1.
+        for _ in range(steps_per_iter):
+            (march, walk, t_best, id_best, attrs) = grid_step_fn(
+                ray_ctx, (march, walk, t_best, id_best, attrs),
+                (ox, oy, oz), (dx, dy, dz),
+            )
 
         # 5. lanes whose walk completed shade + scatter now (winner
         # attrs were carried out of the walk — no gather needed);

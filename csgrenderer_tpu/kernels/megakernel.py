@@ -456,18 +456,12 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
             def grid_step_fn(ray_ctx, state, o, d):
                 a, inv_a, eps_a = ray_ctx
                 march, walk, t_best, id_best, attrs = state
-                (ix, iz, tmaxx, tmaxz, t_out) = walk
-                (march, ix, iz, tmaxx, tmaxz, t_out, t_best, id_best,
-                 attrs) = grid_step(
+                (march, *walk2, t_best, id_best, attrs) = grid_step(
                     grid_static, grid_ref[:],
-                    (march, ix, iz, tmaxx, tmaxz, t_out, t_best, id_best,
-                     attrs),
+                    (march, *walk, t_best, id_best, attrs),
                     o, d, a, inv_a, eps_a,
                 )
-                return (
-                    march, (ix, iz, tmaxx, tmaxz, t_out), t_best, id_best,
-                    attrs,
-                )
+                return march, tuple(walk2), t_best, id_best, attrs
 
             def hit_surface(attrs, o, d, t_safe):
                 (cx, cy, cz, inv_r, kind, param, ar, ag, ab) = attrs
@@ -483,6 +477,11 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
 
             zero = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.float32)
             zero_i = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32)
+            # steps_per_iter stays 1: 2 DDA steps/iteration measured 7%
+            # SLOWER on the headline config (483 vs 520 Mrays/s) — most
+            # segments finish in <= 1 step, so the second step is wasted
+            # for them and the modeled scaffold amortization never
+            # materializes (doc/PERF_NOTES census).
             state = grid_wavefront(
                 spp=spp, max_bounces=max_bounces, width=width, seed=seed,
                 sky=sky, sample_offset_u=sample_offset_u,
@@ -491,7 +490,7 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
                 slot_pixel=slot_pixel, camera_rays=camera_rays,
                 seg_init=seg_init, grid_step_fn=grid_step_fn,
                 hit_surface=hit_surface, n_attrs=9,
-                walk0=(zero_i, zero_i, zero, zero, zero),
+                walk0=(zero_i, zero_i, zero, zero, zero, zero, zero),
             )
         out_r_ref[:] = state["rad"][0]
         out_g_ref[:] = state["rad"][1]

@@ -7,27 +7,29 @@ stack machine is straight-line VPU code (BASELINE.json: "the CSG scene ...
 compiles from the host-side scene graph into a flattened postfix instruction
 tape evaluated branch-free per ray in a Pallas kernel").
 
-Algorithms mirror the jnp reference exactly (render/interval.py,
-render/tape_eval.py):
+Two evaluation algorithms share the leaf-interval math (which mirrors
+render/intersect.py exactly):
 
-- convex leaf -> one (enter, exit) interval, computed in the leaf's local
-  frame via quaternion rotation from SMEM scalars;
-- boolean combine = event-form: the two operands' interleaved endpoints are
-  each already sorted (disjoint sorted intervals), so a generalized Batcher
-  odd-even MERGE network of plane min/max ops (arbitrary operand lengths)
-  yields the 2(ka+kb)+1 sorted events; insideness is evaluated at segment
-  midpoints by interval membership, result starts/ends are flagged and
-  compacted with running-rank selects (no scatter, no sort-of-keys).
-  Interval lists carry EXACT per-node widths min(ka + kb, K) — a combine
-  cannot produce more spans than its operands hold, so narrow intermediate
-  lists are value-identical to all-K lists and ~2x cheaper on deep tapes
-  (config5 measured 167 -> 226 Mrays/s);
-- nearest surface = min over slot boundaries with t > eps; the ``entering``
-  flag (is the nearest boundary an interval start?) is the solid-level
-  front-face used by dielectrics — correct on subtracted surfaces where a
-  dot-product test is not;
-- surface attribution: every leaf scores |distance to its surface| at the
-  hit point and a running argmin keeps the owner's normal and material.
+- **Event-flip evaluation (production, round 2b).** The nearest CSG
+  surface is the smallest leaf-boundary t where the root's boolean
+  membership flips; membership immediately below/above a boundary is
+  exact comparison algebra on the raw leaf intervals, folded through the
+  postfix tape as one min/max per combine (int32 0/1 planes). O(L^2)
+  plane-ops, NO interval capacity (never truncates regardless of tape.k),
+  no epsilon probing; measured 226 -> 371 Mrays/s on the depth-8 config5
+  tape. The ``entering`` flag (did membership go false->true?) is the
+  solid-level front-face used by dielectrics — correct on subtracted
+  surfaces where a dot-product test is not.
+- **Interval-list evaluation (audit mode, ``with_overflow=True``)** — the
+  value-twin of the jnp reference (render/interval.py, tape_eval.py):
+  generalized Batcher odd-even merge of the operands' presorted endpoint
+  streams, midpoint insideness, running-rank compaction into
+  min(ka + kb, K) slots, plus the dropped-span counter that audits the
+  K-capacity cliff the event path does not have.
+
+Surface attribution is shared: every leaf scores |distance to its
+surface| at the hit point and a running argmin keeps the owner's normal
+and material.
 
 The sample/bounce machinery (wavefront regeneration, PCG4D RNG, material
 dispatch) is shared with the sphere megakernel via kernels/common.py.
@@ -332,8 +334,11 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix,
         zero = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.float32)
         far_plane = jnp.full((TILE_ROWS, TILE_LANES), T_FAR, jnp.float32)
 
-        def tape_hit(o, d):
-            """(t, hit, entering, n_shade, kind, param, alb, dropped)."""
+        def tape_hit_lists(o, d):
+            """Interval-list evaluation (the midpoint algorithm, value-twin
+            of render/tape_eval) — kept as the overflow-audit path: its
+            K-slot capacity is what the dropped-span counter measures.
+            Returns (t, entering, dropped)."""
             stack = []
             zero_i32 = (zero > 1.0).astype(jnp.int32)  # non-splat zeros
             dropped = zero_i32
@@ -369,6 +374,84 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix,
                 t_exit = jnp.minimum(t_exit, jnp.where(cout, t_out[kk], T_FAR))
             t = jnp.minimum(t_enter, t_exit)
             entering = t_enter <= t_exit
+            return t, entering, dropped
+
+        def tape_hit_events(o, d):
+            """Event-flip evaluation — the production path (round 2b).
+
+            The interval lists built by tape_hit_lists are only ever
+            reduced to the nearest boundary and its orientation, so the
+            merge networks + midpoint insideness + rank compaction are
+            wasted generality. Instead: the nearest CSG surface is the
+            smallest LEAF BOUNDARY t where the root's boolean membership
+            flips, and membership immediately below/above a boundary t is
+            exact comparison algebra on the raw leaf intervals —
+              below_i = (enter_i <  t) & (exit_i >= t)
+              above_i = (enter_i <= t) & (exit_i >  t)
+            — folded through the tape as one |/&/&~ per combine. O(L^2)
+            plane-ops versus the lists' ~O(L^3) on chain tapes, NO K
+            capacity (never truncates, regardless of tape.k), no epsilon
+            probing (ties/coincident boundaries evaluate identically for
+            every event at the same t). Value-identical to the list path
+            away from capacity overflow: the candidate event values are
+            the very floats the merge network would have routed into the
+            lists. Returns (t, entering, dropped=0)."""
+            l_enter, l_exit = [], []
+            for l in range(n_leaves):
+                e, x = _leaf_interval(leaf_types[l], leaf_scal[l], o, d)
+                l_enter.append(e)
+                l_exit.append(x)
+
+            def tree(mem):
+                # int32 0/1 algebra: Mosaic cannot lower i1 vector xor or
+                # != ("Unsupported target bitwidth for truncation"), so
+                # memberships travel as int32 and the flip test is sum==1
+                stack = []
+                for opcode, operand in ops:
+                    if opcode == OP_PUSH:
+                        stack.append(mem[operand])
+                    elif opcode == OP_UNION:
+                        right = stack.pop()
+                        stack.append(jnp.maximum(stack.pop(), right))
+                    elif opcode == OP_INTERSECT:
+                        right = stack.pop()
+                        stack.append(jnp.minimum(stack.pop(), right))
+                    else:  # OP_DIFF
+                        right = stack.pop()
+                        stack.append(jnp.minimum(stack.pop(), 1 - right))
+                return stack[0]
+
+            t = far_plane
+            entering_i = (zero > 1.0).astype(jnp.int32)  # non-splat zeros
+            for l in range(n_leaves):
+                for tj in (l_enter[l], l_exit[l]):
+                    below = [
+                        ((l_enter[i] < tj) & (l_exit[i] >= tj))
+                        .astype(jnp.int32)
+                        for i in range(n_leaves)
+                    ]
+                    above = [
+                        ((l_enter[i] <= tj) & (l_exit[i] > tj))
+                        .astype(jnp.int32)
+                        for i in range(n_leaves)
+                    ]
+                    ma = tree(above)
+                    flip = (
+                        (tree(below) + ma == 1) & (tj > eps) & (tj < _CUT)
+                    )
+                    cand = jnp.where(flip, tj, T_FAR)
+                    better = cand < t
+                    t = jnp.where(better, cand, t)
+                    entering_i = jnp.where(better, ma, entering_i)
+            zero_i32 = (zero > 1.0).astype(jnp.int32)
+            return t, entering_i > 0, zero_i32
+
+        def tape_hit(o, d):
+            """(t, hit, entering, n_shade, kind, param, alb, dropped)."""
+            if count_dropped:
+                t, entering, dropped = tape_hit_lists(o, d)
+            else:
+                t, entering, dropped = tape_hit_events(o, d)
             hit = t < _CUT
 
             # surface attribution: nearest leaf surface at the hit point

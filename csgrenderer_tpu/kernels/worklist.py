@@ -316,9 +316,13 @@ def pack_grid(
 def grid_setup(gs: GridStatic, o, d, t_glob):
     """DDA init for fresh segments.
 
-    Returns (march, ix, iz, tmaxx, tmaxz, t_out) planes. ``t_glob`` is the
-    globals' best hit — cells beyond it cannot contain a nearer hit, so it
-    bounds the walk.
+    Returns (march, ix, iz, tmaxx, tmaxz, tdx, tdz, t_out) planes —
+    tdx/tdz are the per-axis t increments (cell / |d|), carried through
+    the walk so grid_step pays no per-step divides (VPU divides are
+    multi-pass; measured census put scaffolding cost far above the slot
+    math, so every recurrent divide counts). ``t_glob`` is the globals'
+    best hit — cells beyond it cannot contain a nearer hit, so it bounds
+    the walk.
     """
     ox, oy, oz = o
     dx, dy, dz = d
@@ -326,8 +330,12 @@ def grid_setup(gs: GridStatic, o, d, t_glob):
     big = BIG
     inv_cell = np.float32(1.0 / gs.cell)
 
-    def axis_range(o_c, d_c, lo, hi):
-        inv = 1.0 / d_c
+    # one reciprocal per axis, shared by the slab ranges and the DDA init
+    inv_dx = 1.0 / dx  # +-inf on zero: masked via flat_* below
+    inv_dy = 1.0 / dy
+    inv_dz = 1.0 / dz
+
+    def axis_range(o_c, d_c, inv, lo, hi):
         t0 = (np.float32(lo) - o_c) * inv
         t1 = (np.float32(hi) - o_c) * inv
         lo_t = jnp.minimum(t0, t1)
@@ -341,9 +349,9 @@ def grid_setup(gs: GridStatic, o, d, t_glob):
 
     x1 = gs.x0 + gs.cx * gs.cell
     z1 = gs.z0 + gs.cz * gs.cell
-    tx_lo, tx_hi = axis_range(ox, dx, gs.x0, x1)
-    ty_lo, ty_hi = axis_range(oy, dy, gs.y_lo, gs.y_hi)
-    tz_lo, tz_hi = axis_range(oz, dz, gs.z0, z1)
+    tx_lo, tx_hi = axis_range(ox, dx, inv_dx, gs.x0, x1)
+    ty_lo, ty_hi = axis_range(oy, dy, inv_dy, gs.y_lo, gs.y_hi)
+    tz_lo, tz_hi = axis_range(oz, dz, inv_dz, gs.z0, z1)
     t_in = jnp.maximum(
         jnp.maximum(tx_lo, ty_lo), jnp.maximum(tz_lo, np.float32(1e-3))
     )
@@ -364,8 +372,6 @@ def grid_setup(gs: GridStatic, o, d, t_glob):
     )
     step_x = jnp.where(dx > 0, 1, jnp.where(dx < 0, -1, 0)).astype(jnp.int32)
     step_z = jnp.where(dz > 0, 1, jnp.where(dz < 0, -1, 0)).astype(jnp.int32)
-    inv_dx = 1.0 / dx  # +-inf on zero: masked below
-    inv_dz = 1.0 / dz
     flat_x = jnp.abs(dx) < eps_y
     flat_z = jnp.abs(dz) < eps_y
     next_bx = np.float32(gs.x0) + (
@@ -376,23 +382,25 @@ def grid_setup(gs: GridStatic, o, d, t_glob):
     ).astype(jnp.float32) * np.float32(gs.cell)
     tmaxx0 = jnp.where(flat_x, big, (next_bx - ox) * inv_dx)
     tmaxz0 = jnp.where(flat_z, big, (next_bz - oz) * inv_dz)
-    return march, ix0, iz0, tmaxx0, tmaxz0, t_out
+    tdx = jnp.where(flat_x, big, jnp.abs(np.float32(gs.cell) * inv_dx))
+    tdz = jnp.where(flat_z, big, jnp.abs(np.float32(gs.cell) * inv_dz))
+    return march, ix0, iz0, tmaxx0, tmaxz0, tdx, tdz, t_out
 
 
 def grid_step(gs: GridStatic, tab, state, o, d, a, inv_a, eps_a):
     """ONE DDA step for every lane: gather + m-slot test + advance.
 
-    ``state`` = (march, ix, iz, tmaxx, tmaxz, t_out, t_best, id_best,
-    attrs) where attrs is the 9-tuple of carried winner-attribute planes
-    (ATTR_NAMES order). Returns the updated tuple. Lanes with march == 0
-    fetch the pad cell (guaranteed miss) and keep their state.
+    ``state`` = (march, ix, iz, tmaxx, tmaxz, tdx, tdz, t_out, t_best,
+    id_best, attrs) where attrs is the 9-tuple of carried winner-attribute
+    planes (ATTR_NAMES order). Returns the updated tuple. Lanes with
+    march == 0 fetch the pad cell (guaranteed miss) and keep their state.
     """
-    march, ix, iz, tmaxx, tmaxz, t_out, t_best, id_best, attrs = state
+    (march, ix, iz, tmaxx, tmaxz, tdx, tdz, t_out, t_best, id_best,
+     attrs) = state
     ox, oy, oz = o
     dx, dy, dz = d
     m = gs.m
     big = BIG
-    eps_y = np.float32(1e-12)
     pad_cell = np.int32(gs.c_pad - 1)
 
     act = march > 0
@@ -462,13 +470,9 @@ def grid_step(gs: GridStatic, tab, state, o, d, a, inv_a, eps_a):
         for rows, old in zip(attr_rows, attrs)
     )
 
-    # --- advance -----------------------------------------------------------
+    # --- advance (tdx/tdz precomputed by grid_setup — no per-step divides)
     step_x = jnp.where(dx > 0, 1, jnp.where(dx < 0, -1, 0)).astype(jnp.int32)
     step_z = jnp.where(dz > 0, 1, jnp.where(dz < 0, -1, 0)).astype(jnp.int32)
-    flat_x = jnp.abs(dx) < eps_y
-    flat_z = jnp.abs(dz) < eps_y
-    tdx = jnp.where(flat_x, big, jnp.abs(np.float32(gs.cell) / dx))
-    tdz = jnp.where(flat_z, big, jnp.abs(np.float32(gs.cell) / dz))
     t_next = jnp.minimum(tmaxx, tmaxz)
     go_x = tmaxx <= tmaxz
     ix2 = ix + jnp.where(go_x, step_x, 0)
@@ -482,8 +486,8 @@ def grid_step(gs: GridStatic, tab, state, o, d, a, inv_a, eps_a):
     tmaxx = jnp.where(act, tmaxx2, tmaxx)
     tmaxz = jnp.where(act, tmaxz2, tmaxz)
     return (
-        still.astype(jnp.int32), ix, iz, tmaxx, tmaxz, t_out, t_best,
-        id_best, attrs,
+        still.astype(jnp.int32), ix, iz, tmaxx, tmaxz, tdx, tdz, t_out,
+        t_best, id_best, attrs,
     )
 
 
@@ -492,7 +496,9 @@ def emit_grid_walk(gs: GridStatic, tab, o, d, a, inv_a, eps_a, t_best0, id_best0
     tests to validate the DDA semantics in isolation. The megakernel does
     NOT use this — it fuses one grid_step per wavefront iteration instead
     (see module docstring)."""
-    march, ix, iz, tmaxx, tmaxz, t_out = grid_setup(gs, o, d, t_best0)
+    march, ix, iz, tmaxx, tmaxz, tdx, tdz, t_out = grid_setup(
+        gs, o, d, t_best0
+    )
     attrs0 = tuple(jnp.zeros_like(t_best0) for _ in range(9))
 
     def cond(st):
@@ -503,6 +509,7 @@ def emit_grid_walk(gs: GridStatic, tab, o, d, a, inv_a, eps_a, t_best0, id_best0
 
     st = jax.lax.while_loop(
         cond, body,
-        (march, ix, iz, tmaxx, tmaxz, t_out, t_best0, id_best0, attrs0),
+        (march, ix, iz, tmaxx, tmaxz, tdx, tdz, t_out, t_best0, id_best0,
+         attrs0),
     )
-    return st[6], st[7]
+    return st[8], st[9]
