@@ -125,3 +125,29 @@ def test_benchmark_configs_do_not_overflow():
     cam5 = Camera.look_at((0, 2.0, 7.0), (0.5, 0, 0), vfov_degrees=40.0,
                           aspect_ratio=1.0)
     _assert_no_overflow_anywhere(t5, cam5, 64, 64)
+
+
+def test_event_path_is_exact_beyond_capacity():
+    """The production event-flip evaluation (round 2b) has NO interval
+    capacity: the pearls scene that overflows k=2's list path must render
+    IDENTICALLY to an uncropped k=4 compile — on either tape — while the
+    k=2 list/audit path visibly truncates (drops the far pearl)."""
+    cam = Camera.look_at(
+        (0, 0, -6), (0, 0, 1), vfov_degrees=30.0, aspect_ratio=1.0
+    )
+    kwargs = dict(spp=2, max_bounces=3, seed=3, interpret=True)
+    img_k2, _ = render_image_tape_pallas(
+        _three_pearls(k=2), cam, 24, 24, **kwargs
+    )
+    img_k4, _ = render_image_tape_pallas(
+        _three_pearls(k=4), cam, 24, 24, **kwargs
+    )
+    np.testing.assert_array_equal(np.asarray(img_k2), np.asarray(img_k4))
+
+    # the audit path at k=2 counts the truncated spans (the list path
+    # keeps the K NEAREST spans, so the nearest-hit image itself often
+    # survives truncation — the counter is what detects the lost tail)
+    _, _, over = render_image_tape_pallas(
+        _three_pearls(k=2), cam, 24, 24, with_overflow=True, **kwargs
+    )
+    assert int(over) > 0
