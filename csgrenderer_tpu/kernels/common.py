@@ -361,19 +361,22 @@ def classic_wavefront(
     return jax.lax.while_loop(wave_cond, wave_step, state0)
 
 
-def nee_planes(
-    light_scal, n_lights, p, n, alb, occlusion_t,
+def nee_sample_planes(
+    light_scal, n_lights, p, n, alb,
     pix_u, cur_s, b_plane, seed,
 ):
-    """Next-event estimation on planes — the kernel twin of
-    render/lights.nee_contribution (same math, same RNG counters, so the
-    kernels validate against the jnp reference).
+    """NEE lamp sampling on planes (occlusion deferred to the caller):
+    pick a lamp, cone-sample a direction toward it, compute the analytic
+    lamp hit distance and the pdf/BRDF-weighted contribution.
 
-    ``light_scal``: per-light lists of 8 SMEM scalars (cx, cy, cz, r,
-    er, eg, eb, pad). ``occlusion_t(p, dir) -> t planes``: the scene's
-    nearest-hit distance along a unit direction (shadow test only — no
-    attributes). Returns (dr, dg, db) direct-light radiance planes
-    (multiply by path throughput under the caller's lambertian mask).
+    ``light_scal``: per-light lists of >= 8 SMEM scalars (cx, cy, cz, r,
+    er, eg, eb, sphere_id). Returns (ld(3 planes), tl, (wr, wg, wb),
+    lamp_id): contribution = w under "not occluded before tl"; w is
+    already zero for invalid samples (back-facing cone, p inside the
+    lamp, degenerate). ``lamp_id``: the sampled lamp's scene-sphere id
+    plane (8th scalar; -1 rows if the caller has no id space) — lets a
+    worklist-based occlusion test exclude the lamp's own surface hit
+    exactly instead of by distance tolerance.
     """
     px, py, pz = p
     nx, ny, nz = n
@@ -392,6 +395,7 @@ def nee_planes(
     )
     zero = jnp.zeros_like(px)
     cx = cy = cz = r_ = er = eg = eb = zero
+    lamp_id = zero - 1.0
     for i in range(n_lights):
         s = light_scal[i]
         pick = li == i
@@ -402,6 +406,7 @@ def nee_planes(
         er = jnp.where(pick, s[4], er)
         eg = jnp.where(pick, s[5], eg)
         eb = jnp.where(pick, s[6], eb)
+        lamp_id = jnp.where(pick, s[7], lamp_id)
 
     # cone sampling toward the sphere (render/lights.sample_sphere_cone)
     tox, toy, toz = cx - px, cy - py, cz - pz
@@ -437,14 +442,40 @@ def nee_planes(
     tl = jnp.where(tl0 > eps, tl0, tl1)
     tl = jnp.where(tl > eps, tl, BIG)
 
-    t_occ = occlusion_t((px, py, pz), (ldx, ldy, ldz))
-    occluded = t_occ < tl * np.float32(1.0 - 1e-4)
     cos = dot3(nx, ny, nz, ldx, ldy, ldz)
-    ok = (cos > 0.0) & (inv_pdf > 0.0) & (tl < BIG_CUT) & ~occluded
+    ok = (cos > 0.0) & (inv_pdf > 0.0) & (tl < BIG_CUT)
     scale = jnp.where(
         ok, cos * inv_pdf * np.float32(n_lights / np.pi), 0.0
     )
-    return ar * er * scale, ag * eg * scale, ab * eb * scale
+    return (
+        (ldx, ldy, ldz), tl,
+        (ar * er * scale, ag * eg * scale, ab * eb * scale), lamp_id, ok,
+    )
+
+
+def nee_planes(
+    light_scal, n_lights, p, n, alb, occlusion_t,
+    pix_u, cur_s, b_plane, seed,
+):
+    """Next-event estimation on planes — the kernel twin of
+    render/lights.nee_contribution (same math, same RNG counters, so the
+    kernels validate against the jnp reference).
+
+    ``occlusion_t(p, dir) -> t planes``: the scene's nearest-hit distance
+    along a unit direction (shadow test only — no attributes). Returns
+    (dr, dg, db) direct-light radiance planes (multiply by path
+    throughput under the caller's lambertian mask).
+    """
+    ld, tl, (wr, wg, wb), _, _ = nee_sample_planes(
+        light_scal, n_lights, p, n, alb, pix_u, cur_s, b_plane, seed
+    )
+    t_occ = occlusion_t(p, ld)
+    vis = ~(t_occ < tl * np.float32(1.0 - 1e-4))
+    return (
+        jnp.where(vis, wr, 0.0),
+        jnp.where(vis, wg, 0.0),
+        jnp.where(vis, wb, 0.0),
+    )
 
 
 def grid_wavefront(
@@ -466,6 +497,8 @@ def grid_wavefront(
     n_attrs,
     walk0,
     steps_per_iter=1,
+    nee_sample=None,
+    walk_t_out_index=None,
 ):
     """The fused-DDA wavefront loop shared by the grid-worklist kernels
     (sphere megakernel, triangle-mesh kernel).
@@ -494,6 +527,20 @@ def grid_wavefront(
     sample-k slot to its rotated strided pixel; ``camera_rays(s, px, py,
     pix_u)`` generates primary rays for explicit pixel planes. Outputs are
     in strided-slot layout (the caller un-strides, see megakernel).
+
+    ``nee_sample(p, n, alb, pix_u, cur_s, b_plane) -> (ld(3), tl, w(3),
+    lamp_id)``: enables next-event estimation as SHADOW SEGMENTS woven
+    into the wavefront — after a lambertian path vertex, the lane's next
+    segment walks the shadow ray toward the sampled lamp through the SAME
+    DDA machinery (bounded by ``tl`` via ``walk_t_out_index``, the
+    position of t_out inside the walk tuple); on completion the weighted
+    contribution is added iff nothing but the lamp itself (excluded by
+    ``id_best == lamp_id``, exact) lies strictly before the lamp, and the
+    lane resumes its stashed scattered path segment. Lamp emission
+    reached BY a lambertian scatter is suppressed (prev-diffuse flag), so
+    nothing is double-counted — the same estimator as the brute-path
+    nee_planes, with the shadow test riding the worklist walk instead of
+    a broadcast table pass.
     """
     shape = local_pix.shape
     zero = jnp.zeros(shape, jnp.float32)
@@ -523,6 +570,15 @@ def grid_wavefront(
     # the while-carry to a replicated Mosaic layout the non-uniform body
     # value can't relayout into.
     state0["done"] = local_pix >> 31  # local_pix >= 0 -> all zeros
+    if nee_sample is not None:
+        # shadow-segment machinery: 0 = path segment; 1 = shadow segment,
+        # path resumes after; 2 = shadow segment, sample completes after
+        state0["shadow"] = zero_i
+        state0["pend_d"] = (zero, zero, zero)  # stashed scattered dir
+        state0["w"] = (zero, zero, zero)  # pending NEE contribution
+        state0["t_lamp"] = zero
+        state0["lamp_id"] = zero
+        state0["prevdif"] = zero_i  # previous path vertex was lambertian
 
     def wave_cond(st):
         has_work = (st["active"] > 0) | (st["done"] < spp)
@@ -576,6 +632,17 @@ def grid_wavefront(
         walk = jax.tree_util.tree_map(
             lambda new, old: jnp.where(fresh, new, old), walk_n, st["walk"]
         )
+        if nee_sample is not None:
+            # a freshly initialized SHADOW segment only needs to march as
+            # far as the sampled lamp: clamp the walk's t_out
+            shadow_st = st["shadow"]
+            walk = list(walk)
+            walk[walk_t_out_index] = jnp.where(
+                fresh & (shadow_st > 0),
+                jnp.minimum(walk[walk_t_out_index], st["t_lamp"]),
+                walk[walk_t_out_index],
+            )
+            walk = tuple(walk)
 
         # 4. ``steps_per_iter`` DDA steps for every lane (finished lanes
         # fetch pad). The scaffolding around the walk — regen, camera rays,
@@ -594,31 +661,113 @@ def grid_wavefront(
         # attrs were carried out of the walk — no gather needed);
         # segment contributions accumulate into the SAMPLE-local planes
         finish = (active_i > 0) & (march == 0)
+        if nee_sample is not None:
+            path_fin = finish & (shadow_st == 0)
+            shad_fin = finish & (shadow_st > 0)
+        else:
+            path_fin = finish
         hit = t_best < BIG_CUT
         t_safe = jnp.where(hit, t_best, 1.0)
         n, front, kind, param, alb = hit_surface(
             attrs, (ox, oy, oz), (dx, dy, dz), t_safe
         )
 
+        suppress = None
+        if nee_sample is not None:
+            # NEE at lambertian path vertices: sample a lamp now (same RNG
+            # counters as the brute path), walk the shadow ray as the
+            # lane's NEXT segment. Emission of lamps reached BY a
+            # lambertian scatter is suppressed (accounted by NEE at the
+            # previous vertex; b == 0 camera rays never suppress).
+            suppress = (st["prevdif"] > 0) & (b_ctr > 0)
+            hpx = ox + t_safe * dx
+            hpy = oy + t_safe * dy
+            hpz = oz + t_safe * dz
+            ld, tl, w3, lamp, nee_ok = nee_sample(
+                (hpx, hpy, hpz), n, alb, pix_cur, cur_s,
+                b_ctr.astype(jnp.uint32),
+            )
+            nee_mask = path_fin & hit & (kind == 1.0)
+            # weight carries the path throughput AT the vertex
+            w_pend = tuple(
+                jnp.where(nee_mask, t_ * w_, 0.0)
+                for t_, w_ in zip((tr, tg, tb), w3)
+            )
+            nee_go = nee_mask & nee_ok
+
         (o2, d2, thr2, samp2, term) = shade_and_advance(
-            finish, t_best, hit, n, front, kind, param, alb,
+            path_fin, t_best, hit, n, front, kind, param, alb,
             (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), (sr, sg, sb),
             pix_cur, cur_s, b_ctr.astype(jnp.uint32), seed, sky,
+            suppress_emit=suppress,
         )
         (ox, oy, oz), (dx, dy, dz) = o2, d2
         (tr, tg, tb), (sr, sg, sb) = thr2, samp2
-        hit_fin = finish & hit
+        hit_fin = path_fin & hit
 
-        rays = st["rays"] + finish.astype(jnp.int32)
-        b_ctr = b_ctr + finish.astype(jnp.int32)
+        rays = st["rays"] + path_fin.astype(jnp.int32)
+        b_ctr = b_ctr + path_fin.astype(jnp.int32)
         cont = hit_fin & ~term & (b_ctr < max_bounces)
-        active_i = jnp.where(finish, cont.astype(jnp.int32), active_i)
+        active_i = jnp.where(path_fin, cont.astype(jnp.int32), active_i)
         seg = cont.astype(jnp.int32)  # continuing lanes re-init next iter
+        complete = path_fin & ~cont
+
+        if nee_sample is not None:
+            # 5a. start shadow segments: stash the scattered direction,
+            # aim the lane at the lamp; shadow code 2 = the sample is done
+            # once the shadow walk completes
+            pdx, pdy, pdz = st["pend_d"]
+            pdx = jnp.where(nee_go, dx, pdx)
+            pdy = jnp.where(nee_go, dy, pdy)
+            pdz = jnp.where(nee_go, dz, pdz)
+            dx = jnp.where(nee_go, ld[0], dx)
+            dy = jnp.where(nee_go, ld[1], dy)
+            dz = jnp.where(nee_go, ld[2], dz)
+            w_st = tuple(
+                jnp.where(nee_go, wn, wo)
+                for wn, wo in zip(w_pend, st["w"])
+            )
+            t_lamp_st = jnp.where(nee_go, tl, st["t_lamp"])
+            lamp_st = jnp.where(nee_go, lamp, st["lamp_id"])
+            shadow = jnp.where(
+                nee_go, jnp.where(cont, 1, 2), shadow_st
+            )
+            active_i = jnp.where(nee_go, 1, active_i)
+            seg = jnp.where(nee_go, 1, seg)
+            complete = complete & ~nee_go  # deferred to the shadow finish
+            # stale-flag reset on regen FIRST: a lane that regenerates and
+            # finishes its first segment in the same iteration must keep
+            # the fresh nee_mask value
+            prevdif = jnp.where(regen, 0, st["prevdif"])
+            prevdif = jnp.where(
+                path_fin, nee_mask.astype(jnp.int32), prevdif
+            )
+
+            # 5b. finish shadow segments: visible iff nothing except the
+            # sampled lamp itself (excluded by id, exact under the bf16
+            # tables) lies strictly before the lamp; then restore the
+            # stashed path direction and resume (or complete the sample)
+            occluded = (
+                (t_best < t_lamp_st * np.float32(1.0 - 1e-4))
+                & (id_best != lamp_st)
+            )
+            vis = shad_fin & ~occluded
+            sr = sr + jnp.where(vis, w_st[0], 0.0)
+            sg = sg + jnp.where(vis, w_st[1], 0.0)
+            sb = sb + jnp.where(vis, w_st[2], 0.0)
+            dx = jnp.where(shad_fin, pdx, dx)
+            dy = jnp.where(shad_fin, pdy, dy)
+            dz = jnp.where(shad_fin, pdz, dz)
+            resume = shad_fin & (shadow_st == 1)
+            active_i = jnp.where(shad_fin, resume.astype(jnp.int32),
+                                 active_i)
+            seg = jnp.where(resume, 1, seg)
+            complete = complete | (shad_fin & (shadow_st == 2))
+            shadow = jnp.where(shad_fin, 0, shadow)
 
         # 6. completed samples scatter to their pixel's row slot:
         # dst row = (r + k) % 8 (the rotation's inverse), realized as 8
         # masked sublane reductions — no cross-lane moves needed
-        complete = finish & ~cont
         k_cur = (cur_s - sample_offset_u).astype(jnp.int32)
         dst = (row_ids + k_cur) & 7
         rr, rg, rb = st["rad"]
@@ -638,7 +787,7 @@ def grid_wavefront(
         rg = jnp.concatenate(new_rows[1], axis=0)
         rb = jnp.concatenate(new_rows[2], axis=0)
 
-        return dict(
+        out = dict(
             o=(ox, oy, oz), d=(dx, dy, dz), thr=(tr, tg, tb),
             rad=(rr, rg, rb), active=active_i, b_ctr=b_ctr,
             cur_s=cur_s, done=done, rays=rays,
@@ -647,6 +796,14 @@ def grid_wavefront(
             t_best=t_best, id_best=id_best, attrs=attrs,
             samp=(sr, sg, sb), pix_u=pix_cur,
         )
+        if nee_sample is not None:
+            out["shadow"] = shadow
+            out["pend_d"] = (pdx, pdy, pdz)
+            out["w"] = w_st
+            out["t_lamp"] = t_lamp_st
+            out["lamp_id"] = lamp_st
+            out["prevdif"] = prevdif
+        return out
 
     return jax.lax.while_loop(wave_cond, wave_step, state0)
 

@@ -73,7 +73,8 @@ from .worklist import grid_setup, grid_step, pack_grid
 
 
 def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
-                 grid_static=None, n_globals=0, n_lights=0):
+                 grid_static=None, n_globals=0, n_lights=0,
+                 classic_rotate=False):
     """Build the kernel body with static config baked in.
 
     ``grid_static``: a worklist.GridStatic — when set, ``cols_ref`` holds
@@ -92,7 +93,10 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
     scalar_globals = grid_static is not None and 0 < n_globals <= 16
 
     def kernel(cam_ref, meta_ref, cols_ref, attr_ref, *rest):
-        if grid_static is not None:
+        if grid_static is not None and n_lights:
+            (glob_ref, grid_ref, lights_ref, out_r_ref, out_g_ref,
+             out_b_ref, rays_ref) = rest
+        elif grid_static is not None:
             (glob_ref, grid_ref, out_r_ref, out_g_ref, out_b_ref,
              rays_ref) = rest
         elif n_lights:
@@ -384,7 +388,7 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
                 hpy = oy + t_safe * dy
                 hpz = oz + t_safe * dz
                 light_scal = [
-                    [lights_ref[i, j] for j in range(7)]
+                    [lights_ref[i, j] for j in range(8)]
                     for i in range(n_lights)
                 ]
                 dr, dg, db = nee_planes(
@@ -428,9 +432,20 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
             extra0 = None
             if n_lights:
                 extra0 = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32)
+            rotate = None
+            if classic_rotate:
+                # rotating strided assignment on the BRUTE path: same
+                # slot->pixel map as the grid mode (outputs unstrided by
+                # the caller); values are bit-identical — RNG is keyed by
+                # (pixel, sample), rotation only changes which lane works
+                # which pixel
+                rotate = dict(
+                    slot_pixel=slot_pixel, row_ids=row_ids, width=width,
+                    pix0=pix.astype(jnp.uint32), done0=local_pix >> 31,
+                )
             state = classic_wavefront(
                 bounce_step, camera_rays, spp, max_bounces, in_image,
-                sample_offset_u, extra0=extra0,
+                sample_offset_u, extra0=extra0, rotate=rotate,
             )
         else:
             # fused-DDA wavefront (common.grid_wavefront): one grid cell per
@@ -477,6 +492,20 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
 
             zero = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.float32)
             zero_i = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32)
+            nee_sample = None
+            if n_lights:
+                from .common import nee_sample_planes
+
+                def nee_sample(p, nrm, alb_, pix_u_cur, cur_s, b_plane):
+                    light_scal = [
+                        [lights_ref[i, j] for j in range(8)]
+                        for i in range(n_lights)
+                    ]
+                    return nee_sample_planes(
+                        light_scal, n_lights, p, nrm, alb_,
+                        pix_u_cur, cur_s, b_plane, seed,
+                    )
+
             # steps_per_iter stays 1: 2 DDA steps/iteration measured 7%
             # SLOWER on the headline config (483 vs 520 Mrays/s) — most
             # segments finish in <= 1 step, so the second step is wasted
@@ -491,6 +520,8 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
                 seg_init=seg_init, grid_step_fn=grid_step_fn,
                 hit_surface=hit_surface, n_attrs=9,
                 walk0=(zero_i, zero_i, zero, zero, zero, zero, zero),
+                nee_sample=nee_sample,
+                walk_t_out_index=6,  # (ix, iz, tmaxx, tmaxz, tdx, tdz, t_out)
             )
         out_r_ref[:] = state["rad"][0]
         out_g_ref[:] = state["rad"][1]
@@ -578,7 +609,7 @@ def pack_camera(camera: Camera) -> jax.Array:
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "max_bounces", "lens", "sky", "interpret",
-        "rows", "grid_static", "n_globals", "n_lights",
+        "rows", "grid_static", "n_globals", "n_lights", "classic_rotate",
     ),
 )
 def _render_packed(
@@ -600,6 +631,7 @@ def _render_packed(
     n_globals=0,
     lights_tab=None,
     n_lights=0,
+    classic_rotate=False,
 ):
     n_pix = width * rows  # this slab's pixel count (rows == height unsharded)
     n_tiles = pl.cdiv(n_pix, TILE)
@@ -612,6 +644,7 @@ def _render_packed(
     kernel = _make_kernel(
         width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
         grid_static=grid_static, n_globals=n_globals, n_lights=n_lights,
+        classic_rotate=classic_rotate,
     )
     out_shape = (
         jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, TILE_LANES), jnp.float32),
@@ -636,7 +669,7 @@ def _render_packed(
         inputs.append(packed.cols)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # worklists
         inputs.append(grid_table)
-    elif n_lights:
+    if n_lights:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # lights
         inputs.append(lights_tab)
     r, g, b, rays = pl.pallas_call(
@@ -656,7 +689,7 @@ def _render_packed(
         interpret=interpret,
     )(*inputs)
 
-    if grid_static is not None:
+    if grid_static is not None or classic_rotate:
         # un-stride: kernel slot q of tile t holds pixel q*n_tiles + t
         def unstride(arr):
             return arr.reshape(n_tiles, TILE).T.reshape(-1)
@@ -686,6 +719,7 @@ def render_image_pallas(
     row_offset=0,
     worklist: bool | str = "auto",
     nee: bool = False,
+    rotate: bool | str = "auto",
 ):
     """Drop-in for ``integrator.render_image`` on SphereScene.
 
@@ -700,26 +734,32 @@ def render_image_pallas(
     forces the attempt, False forces pure brute force.
 
     ``nee=True`` enables next-event estimation toward the scene's emissive
-    spheres (render/lights.py; brute path only — the shadow ray reuses the
-    broadcast sphere tables, so ``worklist`` is forced off).
+    spheres (render/lights.py). On the brute path the shadow test is one
+    extra pass over the broadcast sphere tables; on the grid-worklist path
+    shadow rays run as SHADOW SEGMENTS through the same fused DDA
+    (common.grid_wavefront nee_sample hook), with the sampled lamp's own
+    surface hit excluded by sphere id.
+
+    ``rotate``: rotating strided sample assignment on the BRUTE (classic)
+    path — bit-identical output (RNG is pixel-keyed); it averages a
+    lane's load over its column's 8 image-strided pixels, so it pays on
+    scenes with per-pixel load variance. "auto" enables it whenever the
+    brute path runs with several samples; the grid-worklist path always
+    rotates regardless.
     """
     if not jitter:
         raise NotImplementedError("megakernel always jitters (spp>=1)")
     lights_tab = None
     n_lights = 0
-    if nee:
-        from ..render.lights import extract_lights
-
-        lights = extract_lights(scene)
-        if lights is None:
-            raise ValueError("nee=True but the scene has no emissive spheres")
-        n_lights = lights.num_lights
-        tab = np.zeros((n_lights, 8), np.float32)
-        tab[:, 0:3] = np.asarray(lights.centers)
-        tab[:, 3] = np.asarray(lights.radii)
-        tab[:, 4:7] = np.asarray(lights.emit)
-        lights_tab = jnp.asarray(tab)
-        worklist = False  # shadow rays ride the brute broadcast tables
+    if nee and not (np.asarray(scene.mat_kind) == 4).any():
+        raise ValueError("nee=True but the scene has no emissive spheres")
+    if worklist == "auto" and scene.num_spheres < 256:
+        # measured crossover (doc/PERF_NOTES): per-cell worklists only
+        # beat the rotating brute pass once that pass is expensive.
+        # Night scene, 148 spheres: brute 365 vs grid 237 plain, 249 vs
+        # 161 with NEE; RTIOW/night at ~490: grid wins decisively (520 vs
+        # ~90 plain, 96 vs 65 NEE). Force worklist=True to override.
+        worklist = False
     grid_static = None
     grid_table = None
     n_glob = 0
@@ -741,7 +781,25 @@ def render_image_pallas(
             packed = pack_scene(scene)
     else:
         packed = pack_scene(scene)
+    if nee:
+        # lights resolved AFTER any worklist reordering: the 8th column is
+        # the lamp's scene-sphere id in the kernel's id space, letting the
+        # grid path's shadow walk exclude the lamp's own surface hit
+        # exactly (render/lights.py documents the estimator)
+        kind_np = np.asarray(scene.mat_kind)
+        ids = np.where(kind_np == 4)[0]
+        n_lights = int(ids.shape[0])
+        tab = np.zeros((n_lights, 8), np.float32)
+        tab[:, 0:3] = np.asarray(scene.centers, np.float32)[ids]
+        tab[:, 3] = np.abs(np.asarray(scene.radii, np.float32)[ids])
+        tab[:, 4:7] = np.asarray(scene.albedo, np.float32)[ids]
+        tab[:, 7] = ids.astype(np.float32)
+        lights_tab = jnp.asarray(tab)
     cam_row = pack_camera(camera)
+    if rotate == "auto":
+        # rotation averages a lane's load over its column's 8 pixels; the
+        # win needs multiple samples to amortize the scatter
+        rotate = spp >= 4
     return _render_packed(
         packed, cam_row, width, height, spp, max_bounces,
         jnp.asarray(seed, jnp.int32), jnp.asarray(sample_offset, jnp.int32),
@@ -753,4 +811,5 @@ def render_image_pallas(
         n_globals=0 if grid_static is None else n_glob,
         lights_tab=lights_tab,
         n_lights=n_lights,
+        classic_rotate=bool(rotate) and grid_static is None,
     )

@@ -59,7 +59,6 @@ def main(argv=None):
         img, rays = render_image_pallas(
             scene, cam, args.width, args.height, spp=args.spp,
             max_bounces=args.bounces, seed=5, sky="black", nee=args.nee,
-            worklist=False,
         )
     else:
         from csgrenderer_tpu.render import render_image

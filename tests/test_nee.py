@@ -133,3 +133,31 @@ def test_night_scene_kernel_runs():
     img = np.asarray(img)
     assert int(rays) > 0
     assert np.isfinite(img).all() and img.max() > 0.0
+
+
+def test_grid_nee_shadow_segments_match_jnp():
+    """NEE through the grid-worklist path (shadow segments woven into the
+    fused-DDA wavefront, common.grid_wavefront) against the jnp reference:
+    same estimator, same RNG counters; the bf16 worklist tables allow only
+    silhouette-level drift."""
+    from csgrenderer_tpu.kernels.worklist import pack_grid
+
+    scene = night_scene()  # full scene: griddable (148 spheres)
+    assert pack_grid(scene) is not None  # the test must hit the grid path
+    cam = Camera.look_at(
+        (6.5, 2.2, 6.5), (0.0, 0.6, 0.0), vfov_degrees=32.0,
+        aspect_ratio=1.0,
+    )
+    img_j, rays_j = render_image(
+        scene.nearest_hit, cam, 40, 40, spp=6, max_bounces=4, seed=2,
+        sky="black", lights=extract_lights(scene),
+    )
+    img_k, rays_k = render_image_pallas(
+        scene, cam, 40, 40, spp=6, max_bounces=4, seed=2, sky="black",
+        nee=True, interpret=True, worklist=True,  # force the grid path
+    )
+    j, k = np.asarray(img_j), np.asarray(img_k)
+    # shadow segments are not counted as path segments: counters match
+    assert abs(int(rays_j) - int(rays_k)) <= max(4, int(rays_j) * 1e-3)
+    assert float(np.sqrt(((k - j) ** 2).mean())) < 2e-3
+    assert abs(float(k.mean()) - float(j.mean())) < 1e-3
