@@ -110,6 +110,20 @@ class PathTraceRenderer:
             backend = "pallas" if jax.devices()[0].platform != "cpu" else "jnp"
         self.backend = backend
 
+        # NEE lights for the jitted jnp path are extracted HOST-SIDE here
+        # (inside jit the scene arrays are tracers): lamp positions
+        # snapshot the constructor's scene — ``animate`` cannot move
+        # lights on the jnp path. The pallas path re-extracts per call.
+        nee_lights = None
+        if cfg.nee and backend != "pallas":
+            from ..render.lights import extract_lights
+
+            nee_lights = extract_lights(scene)
+            if nee_lights is None:
+                raise ValueError(
+                    "RenderConfig.nee but the scene has no emissive spheres"
+                )
+
         def frame(scene, t, sample_base):
             if animate is not None:
                 scene = animate(scene, t)
@@ -128,6 +142,7 @@ class PathTraceRenderer:
                 jitter=cfg.jitter,
                 lens=cfg.lens,
                 sample_offset=sample_base,
+                lights=nee_lights,
             )
             return radiance, rays
 
@@ -190,6 +205,7 @@ def _render_pallas(scene, camera, cfg: RenderConfig, sample_base, interpret=Fals
             scene, camera, cfg.width, cfg.height, spp=cfg.spp,
             max_bounces=cfg.max_bounces, seed=cfg.seed, sky=cfg.sky,
             lens=cfg.lens, sample_offset=sample_base, interpret=interpret,
+            nee=cfg.nee,
         )
     if isinstance(scene, CompiledTape):
         from ..kernels import render_image_tape_pallas

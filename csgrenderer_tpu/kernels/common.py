@@ -171,7 +171,7 @@ def camera_ray_planes(cam, px, py, pix_u, s_plane, seed, inv_w, inv_h, lens):
 def shade_and_advance(
     mask, t, hit, n, front, kind, param, alb,
     o, d, thr, rad, pix_u, cur_s, b_plane, seed, sky,
-    suppress_emit=None,
+    emit_scale=None,
 ):
     """The shared per-segment shading tail of every wavefront kernel:
     RNG -> material scatter -> sky/emission accumulation -> path advance.
@@ -179,10 +179,11 @@ def shade_and_advance(
     ``mask``: which lanes shade this wave (active lanes in the classic loop,
     finished-marching lanes in the fused-DDA loop). ``n`` must already be
     the unit shading normal opposing d; ``front`` the solid-level
-    front-face flag. ``suppress_emit``: optional bool plane zeroing the
-    EMISSION term only (NEE double-count removal — the sky is unaffected).
-    Returns (o, d, thr, rad, term) with updates applied only under
-    ``mask & hit`` / ``mask & ~hit`` as appropriate.
+    front-face flag. ``emit_scale``: optional f32 plane multiplying the
+    EMISSION term only (the MIS partner weight on BSDF-found lamp
+    emission — the sky is unaffected). Returns (o, d, thr, rad, term)
+    with updates applied only under ``mask & hit`` / ``mask & ~hit`` as
+    appropriate.
     """
     ox, oy, oz = o
     dx, dy, dz = d
@@ -196,10 +197,10 @@ def shade_and_advance(
     (ndx, ndy, ndz), (atr, atg, atb), (emr, emg, emb), term, ud = (
         scatter_planes(kind, param, alb, (dx, dy, dz), n, front, u0, u1, u2)
     )
-    if suppress_emit is not None:
-        emr = jnp.where(suppress_emit, 0.0, emr)
-        emg = jnp.where(suppress_emit, 0.0, emg)
-        emb = jnp.where(suppress_emit, 0.0, emb)
+    if emit_scale is not None:
+        emr = emr * emit_scale
+        emg = emg * emit_scale
+        emb = emb * emit_scale
     skr, skg, skb = sky_planes(ud, sky)
 
     t_safe = jnp.where(hit, t, 1.0)
@@ -444,13 +445,51 @@ def nee_sample_planes(
 
     cos = dot3(nx, ny, nz, ldx, ldy, ldz)
     ok = (cos > 0.0) & (inv_pdf > 0.0) & (tl < BIG_CUT)
-    scale = jnp.where(
-        ok, cos * inv_pdf * np.float32(n_lights / np.pi), 0.0
-    )
+    # balance-heuristic MIS vs the cosine BSDF strategy folds to
+    # cli / (pi + cli), cli = cos * L * ip (render/lights.nee_contribution)
+    cli = cos * np.float32(n_lights) * inv_pdf
+    scale = jnp.where(ok, cli / (jnp.float32(np.pi) + cli), 0.0)
     return (
         (ldx, ldy, ldz), tl,
         (ar * er * scale, ag * eg * scale, ab * eb * scale), lamp_id, ok,
     )
+
+
+def scatter_pdf_lam_planes(n, d_new):
+    """Plane twin of render/lights.scatter_pdf_lambertian: cos/pi of the
+    normalized scatter direction (the carried MIS BSDF pdf)."""
+    nx, ny, nz = n
+    dx, dy, dz = d_new
+    inv_len = jax.lax.rsqrt(
+        jnp.maximum(dot3(dx, dy, dz, dx, dy, dz), jnp.float32(1e-20))
+    )
+    return (
+        jnp.maximum(dot3(nx, ny, nz, dx, dy, dz) * inv_len, 0.0)
+        * np.float32(1.0 / np.pi)
+    )
+
+
+def bsdf_mis_scale_planes(n_lights, c, inv_r, o, pdf_b):
+    """Plane twin of render/lights.bsdf_mis_scale, with the hit lamp's
+    geometry taken straight from the winner attributes (cx, cy, cz,
+    signed inv_r) instead of a table match: w_B = q / (q + 1),
+    q = pdf_b * L * ip, ip = 2 pi (1 - cos_max) from the ray origin
+    (= the previous vertex), BIG when the origin is inside the lamp."""
+    cx, cy, cz = c
+    ox, oy, oz = o
+    r2 = 1.0 / jnp.maximum(inv_r * inv_r, jnp.float32(1e-20))
+    tox, toy, toz = cx - ox, cy - oy, cz - oz
+    dist2 = dot3(tox, toy, toz, tox, toy, toz)
+    outside = dist2 > r2 * np.float32(1.0 + 1e-6)
+    cos_max = jnp.sqrt(
+        jnp.maximum(0.0, 1.0 - r2 / jnp.maximum(dist2, jnp.float32(1e-20)))
+    )
+    ip = jnp.where(
+        outside, jnp.float32(2.0 * np.pi) * (1.0 - cos_max),
+        jnp.float32(1e30),
+    )
+    q = pdf_b * np.float32(n_lights) * ip
+    return q / (q + 1.0)
 
 
 def nee_planes(
@@ -498,6 +537,7 @@ def grid_wavefront(
     walk0,
     steps_per_iter=1,
     nee_sample=None,
+    nee_mis_scale=None,
     walk_t_out_index=None,
 ):
     """The fused-DDA wavefront loop shared by the grid-worklist kernels
@@ -537,10 +577,12 @@ def grid_wavefront(
     contribution is added iff nothing but the lamp itself (excluded by
     ``id_best == lamp_id``, exact) lies strictly before the lamp, and the
     lane resumes its stashed scattered path segment. Lamp emission
-    reached BY a lambertian scatter is suppressed (prev-diffuse flag), so
-    nothing is double-counted — the same estimator as the brute-path
-    nee_planes, with the shadow test riding the worklist walk instead of
-    a broadcast table pass.
+    reached BY a lambertian scatter carries the balance-heuristic MIS
+    partner weight (``nee_mis_scale(attrs, o, pdf_b) -> plane``, the
+    kernel twin of render/lights.bsdf_mis_scale; the carried scatter pdf
+    rides the ``prevpdf`` plane) — the same MIS estimator as the
+    brute-path nee_planes, with the shadow test riding the worklist walk
+    instead of a broadcast table pass.
     """
     shape = local_pix.shape
     zero = jnp.zeros(shape, jnp.float32)
@@ -578,7 +620,7 @@ def grid_wavefront(
         state0["w"] = (zero, zero, zero)  # pending NEE contribution
         state0["t_lamp"] = zero
         state0["lamp_id"] = zero
-        state0["prevdif"] = zero_i  # previous path vertex was lambertian
+        state0["prevpdf"] = zero  # cosine pdf of the scatter (0 = not lam)
 
     def wave_cond(st):
         has_work = (st["active"] > 0) | (st["done"] < spp)
@@ -672,14 +714,20 @@ def grid_wavefront(
             attrs, (ox, oy, oz), (dx, dy, dz), t_safe
         )
 
-        suppress = None
+        emit_scale = None
         if nee_sample is not None:
             # NEE at lambertian path vertices: sample a lamp now (same RNG
             # counters as the brute path), walk the shadow ray as the
             # lane's NEXT segment. Emission of lamps reached BY a
-            # lambertian scatter is suppressed (accounted by NEE at the
-            # previous vertex; b == 0 camera rays never suppress).
-            suppress = (st["prevdif"] > 0) & (b_ctr > 0)
+            # lambertian scatter carries the MIS partner weight (b == 0
+            # camera rays pass emission through unweighted).
+            w_b = nee_mis_scale(
+                attrs, (ox, oy, oz), st["prevpdf"]
+            )
+            emit_scale = jnp.where(
+                (kind == 4.0) & (st["prevpdf"] > 0.0) & (b_ctr > 0),
+                w_b, 1.0,
+            )
             hpx = ox + t_safe * dx
             hpy = oy + t_safe * dy
             hpz = oz + t_safe * dz
@@ -699,7 +747,7 @@ def grid_wavefront(
             path_fin, t_best, hit, n, front, kind, param, alb,
             (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), (sr, sg, sb),
             pix_cur, cur_s, b_ctr.astype(jnp.uint32), seed, sky,
-            suppress_emit=suppress,
+            emit_scale=emit_scale,
         )
         (ox, oy, oz), (dx, dy, dz) = o2, d2
         (tr, tg, tb), (sr, sg, sb) = thr2, samp2
@@ -713,6 +761,20 @@ def grid_wavefront(
         complete = path_fin & ~cont
 
         if nee_sample is not None:
+            # carried scatter pdf for the NEXT path segment's MIS weight —
+            # computed HERE while (dx, dy, dz) is still the scattered
+            # direction (the shadow-start block below re-aims nee_go lanes
+            # at the lamp). Stale-value reset on regen first: a lane that
+            # regenerates and finishes its first segment in the same
+            # iteration keeps the freshly computed pdf.
+            pdf_lam = scatter_pdf_lam_planes(n, (dx, dy, dz))
+            prevpdf = jnp.where(regen, 0.0, st["prevpdf"])
+            prevpdf = jnp.where(
+                path_fin,
+                jnp.where(cont & (kind == 1.0), pdf_lam, 0.0),
+                prevpdf,
+            )
+
             # 5a. start shadow segments: stash the scattered direction,
             # aim the lane at the lamp; shadow code 2 = the sample is done
             # once the shadow walk completes
@@ -735,13 +797,6 @@ def grid_wavefront(
             active_i = jnp.where(nee_go, 1, active_i)
             seg = jnp.where(nee_go, 1, seg)
             complete = complete & ~nee_go  # deferred to the shadow finish
-            # stale-flag reset on regen FIRST: a lane that regenerates and
-            # finishes its first segment in the same iteration must keep
-            # the fresh nee_mask value
-            prevdif = jnp.where(regen, 0, st["prevdif"])
-            prevdif = jnp.where(
-                path_fin, nee_mask.astype(jnp.int32), prevdif
-            )
 
             # 5b. finish shadow segments: visible iff nothing except the
             # sampled lamp itself (excluded by id, exact under the bf16
@@ -802,7 +857,7 @@ def grid_wavefront(
             out["w"] = w_st
             out["t_lamp"] = t_lamp_st
             out["lamp_id"] = lamp_st
-            out["prevdif"] = prevdif
+            out["prevpdf"] = prevpdf
         return out
 
     return jax.lax.while_loop(wave_cond, wave_step, state0)

@@ -62,11 +62,13 @@ from .common import (
     TILE,
     TILE_LANES,
     TILE_ROWS,
+    bsdf_mis_scale_planes,
     camera_ray_planes,
     classic_wavefront,
     dot3 as _dot3,
     grid_wavefront,
     nee_planes,
+    scatter_pdf_lam_planes,
     shade_and_advance,
 )
 from .worklist import grid_setup, grid_step, pack_grid
@@ -376,14 +378,20 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
             sgn = jnp.where(front, 1.0, -1.0)
             n = (onx * sgn, ony * sgn, onz * sgn)
 
-            suppress = None
+            emit_scale = None
             if n_lights:
-                # NEE: direct light at lambertian hits; emission of lamps
-                # reached BY a lambertian scatter is suppressed below
-                # (prev_diffuse rides in ``extra``; b == 0 = fresh camera
-                # ray, whose stale flag must not suppress)
-                prev_diffuse = extra > 0
-                suppress = prev_diffuse & (b > jnp.uint32(0))
+                # MIS NEE: direct light at lambertian hits; lamp emission
+                # reached BY a lambertian scatter carries the balance-
+                # heuristic partner weight (the scatter's cosine pdf rides
+                # in ``extra``; b == 0 = fresh camera ray, whose stale
+                # value must pass emission through unweighted)
+                w_b = bsdf_mis_scale_planes(
+                    n_lights, (cx, cy, cz), inv_r, (ox, oy, oz), extra
+                )
+                emit_scale = jnp.where(
+                    (kind == 4.0) & (extra > 0.0) & (b > jnp.uint32(0)),
+                    w_b, 1.0,
+                )
                 hpx = ox + t_safe * dx
                 hpy = oy + t_safe * dy
                 hpz = oz + t_safe * dz
@@ -401,19 +409,25 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
                 rr = rr + jnp.where(nee_mask, tr * dr, 0.0)
                 rg = rg + jnp.where(nee_mask, tg * dg, 0.0)
                 rb = rb + jnp.where(nee_mask, tb * db, 0.0)
-                extra = nee_mask.astype(jnp.int32)
 
             (o2, d2, thr2, rad2, term) = shade_and_advance(
                 active, t_pl, hit, n, front, kind, param, (ar, ag, ab),
                 (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), (rr, rg, rb),
                 pix_u if pu is None else pu, s, b, seed, sky,
-                suppress_emit=suppress,
+                emit_scale=emit_scale,
             )
             (ox, oy, oz), (dx, dy, dz) = o2, d2
             (tr, tg, tb), (rr, rg, rb) = thr2, rad2
 
             rays = rays + active_i
-            active_i = (active & hit & ~term).astype(jnp.int32)
+            cont = active & hit & ~term
+            if n_lights:
+                # carried cosine pdf of the scatter (the MIS pairing)
+                extra = jnp.where(
+                    cont & is_lam,
+                    scatter_pdf_lam_planes(n, (dx, dy, dz)), 0.0,
+                )
+            active_i = cont.astype(jnp.int32)
             return (
                 (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), (rr, rg, rb),
                 active_i, rays, extra,
@@ -431,7 +445,8 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
             # the classic wavefront loop is the shared scaffold in common.py
             extra0 = None
             if n_lights:
-                extra0 = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32)
+                # carried cosine pdf of the previous scatter (f32)
+                extra0 = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.float32)
             rotate = None
             if classic_rotate:
                 # rotating strided assignment on the BRUTE path: same
@@ -493,6 +508,7 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
             zero = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.float32)
             zero_i = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32)
             nee_sample = None
+            nee_mis_scale = None
             if n_lights:
                 from .common import nee_sample_planes
 
@@ -504,6 +520,13 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
                     return nee_sample_planes(
                         light_scal, n_lights, p, nrm, alb_,
                         pix_u_cur, cur_s, b_plane, seed,
+                    )
+
+                def nee_mis_scale(attrs_, o_, pdf_b):
+                    # ATTR_NAMES order: cx, cy, cz, inv_r, ...
+                    return bsdf_mis_scale_planes(
+                        n_lights, (attrs_[0], attrs_[1], attrs_[2]),
+                        attrs_[3], o_, pdf_b,
                     )
 
             # steps_per_iter stays 1: 2 DDA steps/iteration measured 7%
@@ -521,6 +544,7 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
                 hit_surface=hit_surface, n_attrs=9,
                 walk0=(zero_i, zero_i, zero, zero, zero, zero, zero),
                 nee_sample=nee_sample,
+                nee_mis_scale=nee_mis_scale,
                 walk_t_out_index=6,  # (ix, iz, tmaxx, tmaxz, tdx, tdz, t_out)
             )
         out_r_ref[:] = state["rad"][0]

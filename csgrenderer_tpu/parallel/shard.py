@@ -118,6 +118,7 @@ def render_scene_sharded(
     sample_offset: int = 0,
     backend: str = "auto",
     interpret: bool = False,
+    nee: bool = False,
 ):
     """Scene-level sharded render: Pallas kernels inside shard_map.
 
@@ -128,7 +129,10 @@ def render_scene_sharded(
     shape reproduces the single-device image (same invariant as the jnp
     path, tested on the CPU mesh with interpret=True).
 
-    ``backend``: "pallas" | "jnp" | "auto" (pallas off-CPU).
+    ``backend``: "pallas" | "jnp" | "auto" (pallas off-CPU). ``nee``:
+    next-event estimation toward emissive spheres (SphereScene only) —
+    sharding-invariant like everything else (NEE RNG is keyed by global
+    pixel/sample counters).
     """
     import jax as _jax
 
@@ -137,7 +141,14 @@ def render_scene_sharded(
 
     if backend == "auto":
         backend = "pallas" if _jax.devices()[0].platform != "cpu" else "jnp"
+    if nee and not isinstance(scene, SphereScene):
+        raise NotImplementedError("nee is for emissive SphereScenes")
     if backend == "jnp":
+        if nee:
+            raise NotImplementedError(
+                "nee through the sharded jnp path: pass backend='pallas' "
+                "(interpret=True on CPU) or use render_image with lights="
+            )
         if isinstance(scene, SphereScene):
             hit_fn = scene.nearest_hit
         else:
@@ -175,7 +186,7 @@ def render_scene_sharded(
             from ..kernels import render_image_pallas
 
             radiance, rays = render_image_pallas(
-                scene, camera, width, height, **kwargs
+                scene, camera, width, height, nee=nee, **kwargs
             )
         elif isinstance(scene, CompiledTape):
             from ..kernels import render_image_tape_pallas

@@ -141,12 +141,14 @@ def trace_paths(
 ) -> tuple[Array, Array]:
     """Iterative bounce loop. Returns (radiance [..., 3], rays_traced []).
 
-    ``lights``: an optional render.lights.SphereLights — enables next-event
-    estimation: every lambertian hit additionally samples one emissive
-    sphere directly (shadow ray per bounce, ~2x intersection cost), and a
-    lambertian-scattered ray that then hits a lamp skips the lamp's
-    emission so nothing is double-counted. Identical expectation, far
-    lower variance on emissive-lit (black-sky) scenes.
+    ``lights``: an optional render.lights.SphereLights — enables
+    MIS-weighted next-event estimation: every lambertian hit additionally
+    samples one emissive sphere directly (shadow ray per bounce, ~2x
+    intersection cost), and lamp emission found by the lambertian BSDF
+    sample carries the balance-heuristic partner weight (render/lights.py)
+    so the two strategies sum to exactly one estimator. Identical
+    expectation to plain PT, far lower variance on emissive-lit
+    (black-sky) scenes.
     """
     batch = o.shape[:-1]
     state = dict(
@@ -155,7 +157,9 @@ def trace_paths(
         throughput=jnp.ones(batch + (3,), jnp.float32),
         radiance=jnp.zeros(batch + (3,), jnp.float32),
         active=jnp.ones(batch, bool),
-        prev_diffuse=jnp.zeros(batch, bool),
+        # cosine-pdf of the scatter that produced the CURRENT ray;
+        # 0 = previous vertex was not lambertian (MIS partner weight)
+        prev_pdf_b=jnp.zeros(batch, jnp.float32),
         rays=jnp.zeros((), jnp.int64 if jax.config.x64_enabled else jnp.int32),
     )
 
@@ -178,14 +182,23 @@ def trace_paths(
         radiance = radiance + jnp.where(
             missed[..., None], s["throughput"] * sky_color(s["d"], sky), 0.0
         )
+        t_safe_pre = jnp.where(h.hit, h.t, 1.0)
         if lights is None:
-            emit_mask = hit_active
+            emit_scale = jnp.ones_like(t_safe_pre)
         else:
-            # NEE accounted the direct hit on a lamp at the previous
-            # (lambertian) vertex already — skip its emission here
-            emit_mask = hit_active & ~s["prev_diffuse"]
+            # MIS partner weight on BSDF-found lamp emission (kind 4 only;
+            # the normal-map debug "emission" is not a light)
+            from .lights import bsdf_mis_scale
+
+            p_hit_pre = s["o"] + t_safe_pre[..., None] * s["d"]
+            w_b = bsdf_mis_scale(lights, s["o"], p_hit_pre, s["prev_pdf_b"])
+            emit_scale = jnp.where(
+                (h.mat_kind == 4) & (s["prev_pdf_b"] > 0.0), w_b, 1.0
+            )
         radiance = radiance + jnp.where(
-            emit_mask[..., None], s["throughput"] * sc.emitted, 0.0
+            hit_active[..., None],
+            s["throughput"] * sc.emitted * emit_scale[..., None],
+            0.0,
         )
 
         is_lam = h.mat_kind == 1
@@ -218,13 +231,20 @@ def trace_paths(
             hit_active[..., None], s["o"] + t_safe[..., None] * s["d"], s["o"]
         )
         new_d = jnp.where(hit_active[..., None], sc.direction, s["d"])
+        if lights is None:
+            prev_pdf_b = s["prev_pdf_b"]
+        else:
+            from .lights import scatter_pdf_lambertian
+
+            pdf_b = scatter_pdf_lambertian(h.normal, sc.direction)
+            prev_pdf_b = jnp.where(still_active & is_lam, pdf_b, 0.0)
         return dict(
             o=new_o,
             d=new_d,
             throughput=throughput,
             radiance=radiance,
             active=still_active,
-            prev_diffuse=still_active & is_lam,
+            prev_pdf_b=prev_pdf_b,
             rays=s["rays"] + jnp.sum(active.astype(s["rays"].dtype)),
         )
 

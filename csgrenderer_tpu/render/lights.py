@@ -12,10 +12,15 @@ lamp — variance scales with 1/solid-angle. NEE samples the lamps directly:
 - trace a shadow ray; the light is visible iff the scene's nearest hit is
   not strictly closer than the analytic hit on the sampled lamp itself
   (identity-free occlusion test — no hit indices needed);
-- add throughput * albedo/pi * cos * L_e * (n_lights / pdf);
-- to stay unbiased, a lambertian-SCATTERED ray that then hits a lamp
-  skips the lamp's emission (direct light was already accounted; specular
-  chains and camera rays keep emission).
+- add throughput * albedo/pi * cos * L_e * (n_lights / pdf), times the
+  balance-heuristic MIS weight against the cosine BSDF strategy
+  (nee_contribution folds both into one closed form);
+- a lambertian-SCATTERED ray that then hits a lamp keeps its emission
+  times the PARTNER weight (bsdf_mis_scale) — the two weights sum to 1
+  for every lamp surface point, so the pairing is exactly unbiased
+  (round 2's suppress-the-emission scheme was the w_L = 1 special case,
+  biased for vertices inside a lamp's bounding sphere); specular chains
+  and camera rays keep full emission.
 
 This estimator is exact for scenes whose emitters are spheres; emissive
 non-sphere leaves simply keep the BSDF-sampling path. The math here is
@@ -116,11 +121,22 @@ def sphere_ray_t(p: Array, d: Array, c: Array, r, eps: float = 1e-3) -> Array:
 
 
 def nee_contribution(hit_fn, p, n, albedo, lights: SphereLights, u):
-    """Direct-light estimate at a lambertian hit point.
+    """MIS-weighted direct-light estimate at a lambertian hit point.
 
     ``u``: [..., 3] uniforms (light pick, cone u1, cone u2). Returns
-    [..., 3] radiance (already BRDF- and pdf-weighted; multiply by path
-    throughput and the lambertian mask).
+    [..., 3] radiance (already BRDF-, pdf- and MIS-weighted; multiply by
+    path throughput and the lambertian mask).
+
+    Balance-heuristic MIS against the cosine BSDF strategy: the light
+    strategy's solid-angle density is pdf_L = 1 / (L * ip) with
+    ip = 2 pi (1 - cos_theta_max); the BSDF's is cos / pi. The weighted
+    contribution folds to the closed form
+        albedo * L_e * cos * L * ip / (pi + cos * L * ip)
+    (= the pure-NEE scale times pdf_L / (pdf_L + pdf_B)). The partner
+    weight is applied to BSDF-found lamp emission via bsdf_mis_scale —
+    together they sum to 1 for every lamp surface point, replacing the
+    round-2 suppress-emission scheme (which zeroed the BSDF side, i.e.
+    w_L = 1, and was biased for vertices inside a lamp's sphere).
     """
     nl = lights.num_lights
     li = jnp.minimum((u[..., 0] * nl).astype(jnp.int32), nl - 1)
@@ -136,7 +152,52 @@ def nee_contribution(hit_fn, p, n, albedo, lights: SphereLights, u):
     sh = hit_fn(p, d)
     occluded = sh.hit & (sh.t < t_light * (1.0 - 1e-4))
     ok = (cos > 0.0) & (inv_pdf > 0.0) & (t_light < 1e29) & ~occluded
-    scale = jnp.where(
-        ok, cos * inv_pdf * jnp.float32(nl / np.pi), 0.0
-    )
+    cli = cos * jnp.float32(nl) * inv_pdf
+    scale = jnp.where(ok, cli / (jnp.float32(np.pi) + cli), 0.0)
     return albedo * e * scale[..., None]
+
+
+def scatter_pdf_lambertian(n, d_new):
+    """Solid-angle pdf of the lambertian scatter (cosine-weighted):
+    cos(theta)/pi for the normalized new direction. The carried
+    "previous-vertex BSDF pdf" of the MIS pairing."""
+    ud = vec.normalized(d_new, eps=1e-20)
+    return jnp.maximum(vec.dot(n, ud), 0.0) * jnp.float32(1.0 / np.pi)
+
+
+def bsdf_mis_scale(lights: SphereLights, o_prev, p_hit, prev_pdf_b):
+    """MIS weight for lamp emission found BY the BSDF sample.
+
+    ``o_prev``: the previous (lambertian) vertex = the ray origin;
+    ``p_hit``: the emissive hit point; ``prev_pdf_b``: the carried
+    cosine-pdf of the scatter that produced this ray (0 when the previous
+    vertex was not lambertian — callers must pass emission through
+    unweighted in that case). The lamp containing ``p_hit`` is identified
+    by surface distance over the (small) light table; its cone inv-pdf
+    ip = 2 pi (1 - cos_max) from ``o_prev`` gives
+        w_B = q / (q + 1),  q = prev_pdf_b * L * ip
+    (ip = BIG when o_prev is inside the lamp: the light strategy cannot
+    sample there, w_B -> 1 — the bias the suppression scheme had).
+    """
+    nl = lights.num_lights
+    c_all = jnp.asarray(lights.centers)  # [L, 3]
+    r_all = jnp.asarray(lights.radii)  # [L]
+    # lamp containing p_hit: argmin |dist(p, c_l) - r_l|
+    dvec = p_hit[..., None, :] - c_all  # [..., L, 3]
+    dist = jnp.sqrt(jnp.sum(dvec * dvec, axis=-1))  # [..., L]
+    li = jnp.argmin(jnp.abs(dist - r_all), axis=-1)  # [...]
+    c = c_all[li]
+    r = r_all[li]
+    to_c = c - o_prev
+    dist2 = vec.dot(to_c, to_c)
+    r2 = r * r
+    outside = dist2 > r2 * jnp.float32(1.0 + 1e-6)
+    cos_max = jnp.sqrt(
+        jnp.maximum(0.0, 1.0 - r2 / jnp.maximum(dist2, 1e-20))
+    )
+    ip = jnp.where(
+        outside, jnp.float32(2.0 * np.pi) * (1.0 - cos_max),
+        jnp.float32(1e30),
+    )
+    q = prev_pdf_b * jnp.float32(nl) * ip
+    return q / (q + 1.0)

@@ -23,6 +23,7 @@ class RenderConfig:
     gamma: float = 2.0
     jitter: bool = True
     lens: bool = False
+    nee: bool = False  # next-event estimation (emissive SphereScenes)
     debug: bool = False  # enables NaN checking (the "validation layer" mode)
 
     def __post_init__(self):

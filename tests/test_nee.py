@@ -161,3 +161,91 @@ def test_grid_nee_shadow_segments_match_jnp():
     assert abs(int(rays_j) - int(rays_k)) <= max(4, int(rays_j) * 1e-3)
     assert float(np.sqrt(((k - j) ** 2).mean())) < 2e-3
     assert abs(float(k.mean()) - float(j.mean())) < 1e-3
+
+
+def test_sharded_nee_matches_single_device():
+    """NEE through shard_map (the multi-chip path): any mesh shape must
+    reproduce the single-device kernel render exactly — NEE RNG is keyed
+    by global pixel/sample counters like everything else."""
+    import jax
+    from jax.sharding import Mesh
+
+    from csgrenderer_tpu.parallel import render_scene_sharded
+
+    scene = small_scene()
+    single, rays1 = render_image_pallas(
+        scene, CAM, 32, 32, spp=4, max_bounces=4, seed=3, sky="black",
+        nee=True, interpret=True,
+    )
+    devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("tile", "sample"))
+    sharded, rays8 = render_scene_sharded(
+        scene, CAM, 32, 32, mesh, spp=4, max_bounces=4, seed=3,
+        sky="black", nee=True, backend="pallas", interpret=True,
+    )
+    # ulp-level only: the sharded path re-groups the spp division through
+    # the psum (radiance * spp_local -> psum -> / spp)
+    np.testing.assert_allclose(
+        np.asarray(single), np.asarray(sharded), rtol=1e-6, atol=1e-7
+    )
+    assert int(rays1) == int(rays8)
+
+
+def test_renderer_nee_config():
+    """RenderConfig.nee drives both App-renderer backends."""
+    from csgrenderer_tpu.app.renderers import PathTraceRenderer
+    from csgrenderer_tpu.utils.config import RenderConfig
+
+    scene = small_scene()
+    cfg = RenderConfig(width=24, height=24, spp=2, max_bounces=3,
+                       sky="black", nee=True)
+    imgs = {}
+    for backend in ("jnp", "pallas"):
+        r = PathTraceRenderer(scene, CAM, cfg, backend=backend,
+                              interpret=True)
+        imgs[backend] = np.asarray(r.draw_frame(0.0))
+    assert imgs["jnp"].max() > 0
+    # same estimator, same RNG: tonemapped frames agree to uint8 rounding
+    assert float(np.abs(imgs["jnp"].astype(np.int32)
+                        - imgs["pallas"].astype(np.int32)).max()) <= 1.0
+    # a scene with no emissives raises clearly
+    no_em = scene._replace(mat_kind=jnp.asarray([1, 1, 1, 2], jnp.int32))
+    with pytest.raises(ValueError):
+        PathTraceRenderer(no_em, CAM, cfg, backend="jnp").draw_frame(0.0)
+
+
+def test_mis_weights_partition_unity():
+    """Balance-heuristic property: for any direction the light-strategy
+    weight folded into nee_contribution's scale and the BSDF-side weight
+    from bsdf_mis_scale must sum to 1 (same pdf pair on both sides)."""
+    from csgrenderer_tpu.render.lights import bsdf_mis_scale
+
+    rng = np.random.default_rng(3)
+    lights = SphereLights = extract_lights(small_scene())
+    c = np.asarray(lights.centers[0])
+    r = float(lights.radii[0])
+    nl = lights.num_lights
+    p = jnp.asarray(rng.normal(size=(256, 3)).astype(np.float32) * 2.0)
+    # keep test points outside the lamp
+    d2 = np.sum((np.asarray(p) - c) ** 2, axis=1)
+    p = p[jnp.asarray(d2 > (r * 1.5) ** 2)]
+    u1 = jnp.asarray(rng.random(p.shape[0], np.float32))
+    u2 = jnp.asarray(rng.random(p.shape[0], np.float32))
+    d, inv_pdf = sample_sphere_cone(p, jnp.asarray(c), jnp.float32(r), u1, u2)
+    n = jnp.asarray([0.0, 1.0, 0.0])
+    cos = jnp.maximum(jnp.sum(d * n, axis=-1), 1e-4)
+    # w_L = pdf_L/(pdf_L + pdf_B) = pi/(pi + cli); the nee code ships the
+    # FOLDED scale cli/(pi+cli) = (pure-NEE scale cli/pi) * w_L
+    cli = cos * nl * inv_pdf
+    w_l = np.pi / (np.pi + cli)
+    # the BSDF partner: prev vertex = p, scatter pdf = cos/pi, hit point
+    # on the lamp along d
+    t_l = sphere_ray_t(p, d, jnp.asarray(c), jnp.float32(r))
+    hitp = p + t_l[:, None] * d
+    w_b = bsdf_mis_scale(lights, p, hitp, cos / np.pi)
+    np.testing.assert_allclose(np.asarray(w_l + w_b), 1.0, atol=1e-5)
+
+    # inside the lamp the light strategy is impossible: w_b == 1
+    inside = jnp.broadcast_to(jnp.asarray(c), (4, 3))
+    w_in = bsdf_mis_scale(lights, inside, hitp[:4], cos[:4] / np.pi)
+    np.testing.assert_allclose(np.asarray(w_in), 1.0, atol=1e-6)
