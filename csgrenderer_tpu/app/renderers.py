@@ -110,19 +110,34 @@ class PathTraceRenderer:
             backend = "pallas" if jax.devices()[0].platform != "cpu" else "jnp"
         self.backend = backend
 
-        # NEE lights for the jitted jnp path are extracted HOST-SIDE here
-        # (inside jit the scene arrays are tracers): lamp positions
-        # snapshot the constructor's scene — ``animate`` cannot move
-        # lights on the jnp path. The pallas path re-extracts per call.
+        # NEE is an emissive-SphereScene feature on both backends. For the
+        # jitted jnp path the lights are extracted HOST-SIDE here (inside
+        # jit the scene arrays are tracers): lamp positions snapshot the
+        # constructor's scene — so ``animate`` (which could move lamps)
+        # is rejected rather than silently diverging from the pallas
+        # path, which re-extracts per call.
         nee_lights = None
-        if cfg.nee and backend != "pallas":
-            from ..render.lights import extract_lights
-
-            nee_lights = extract_lights(scene)
-            if nee_lights is None:
+        if cfg.nee:
+            if not isinstance(scene, SphereScene):
                 raise ValueError(
-                    "RenderConfig.nee but the scene has no emissive spheres"
+                    "RenderConfig.nee is for emissive SphereScenes; "
+                    f"got {type(scene).__name__}"
                 )
+            if backend != "pallas":
+                if animate is not None:
+                    raise NotImplementedError(
+                        "nee + animate on the jnp backend would sample "
+                        "the constructor-time lamp positions; use "
+                        "backend='pallas' (re-extracts lights per call)"
+                    )
+                from ..render.lights import extract_lights
+
+                nee_lights = extract_lights(scene)
+                if nee_lights is None:
+                    raise ValueError(
+                        "RenderConfig.nee but the scene has no emissive "
+                        "spheres"
+                    )
 
         def frame(scene, t, sample_base):
             if animate is not None:

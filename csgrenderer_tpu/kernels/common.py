@@ -372,12 +372,13 @@ def nee_sample_planes(
 
     ``light_scal``: per-light lists of >= 8 SMEM scalars (cx, cy, cz, r,
     er, eg, eb, sphere_id). Returns (ld(3 planes), tl, (wr, wg, wb),
-    lamp_id): contribution = w under "not occluded before tl"; w is
-    already zero for invalid samples (back-facing cone, p inside the
-    lamp, degenerate). ``lamp_id``: the sampled lamp's scene-sphere id
-    plane (8th scalar; -1 rows if the caller has no id space) — lets a
-    worklist-based occlusion test exclude the lamp's own surface hit
-    exactly instead of by distance tolerance.
+    lamp_id, ok): contribution = w under "not occluded before tl"; w is
+    already zero where ``ok`` is False (back-facing cone, p inside the
+    lamp, degenerate — callers may skip the shadow walk on ~ok).
+    ``lamp_id``: the sampled lamp's scene-sphere id plane (8th scalar;
+    -1 rows if the caller has no id space) — lets a worklist-based
+    occlusion test exclude the lamp's own surface hit exactly instead of
+    by distance tolerance.
     """
     px, py, pz = p
     nx, ny, nz = n
@@ -569,7 +570,7 @@ def grid_wavefront(
     in strided-slot layout (the caller un-strides, see megakernel).
 
     ``nee_sample(p, n, alb, pix_u, cur_s, b_plane) -> (ld(3), tl, w(3),
-    lamp_id)``: enables next-event estimation as SHADOW SEGMENTS woven
+    lamp_id, ok)``: enables next-event estimation as SHADOW SEGMENTS woven
     into the wavefront — after a lambertian path vertex, the lane's next
     segment walks the shadow ray toward the sampled lamp through the SAME
     DDA machinery (bounded by ``tl`` via ``walk_t_out_index``, the

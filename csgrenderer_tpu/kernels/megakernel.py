@@ -809,14 +809,15 @@ def render_image_pallas(
         # lights resolved AFTER any worklist reordering: the 8th column is
         # the lamp's scene-sphere id in the kernel's id space, letting the
         # grid path's shadow walk exclude the lamp's own surface hit
-        # exactly (render/lights.py documents the estimator)
-        kind_np = np.asarray(scene.mat_kind)
-        ids = np.where(kind_np == 4)[0]
-        n_lights = int(ids.shape[0])
+        # exactly (render/lights.py owns the extraction + estimator)
+        from ..render.lights import extract_lights
+
+        lights, ids = extract_lights(scene, return_ids=True)
+        n_lights = lights.num_lights
         tab = np.zeros((n_lights, 8), np.float32)
-        tab[:, 0:3] = np.asarray(scene.centers, np.float32)[ids]
-        tab[:, 3] = np.abs(np.asarray(scene.radii, np.float32)[ids])
-        tab[:, 4:7] = np.asarray(scene.albedo, np.float32)[ids]
+        tab[:, 0:3] = lights.centers
+        tab[:, 3] = lights.radii
+        tab[:, 4:7] = lights.emit
         tab[:, 7] = ids.astype(np.float32)
         lights_tab = jnp.asarray(tab)
     cam_row = pack_camera(camera)

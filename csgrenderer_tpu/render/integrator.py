@@ -182,16 +182,16 @@ def trace_paths(
         radiance = radiance + jnp.where(
             missed[..., None], s["throughput"] * sky_color(s["d"], sky), 0.0
         )
-        t_safe_pre = jnp.where(h.hit, h.t, 1.0)
+        t_safe = jnp.where(h.hit, h.t, 1.0)
+        p_hit = s["o"] + t_safe[..., None] * s["d"]
         if lights is None:
-            emit_scale = jnp.ones_like(t_safe_pre)
+            emit_scale = jnp.ones_like(t_safe)
         else:
             # MIS partner weight on BSDF-found lamp emission (kind 4 only;
             # the normal-map debug "emission" is not a light)
             from .lights import bsdf_mis_scale
 
-            p_hit_pre = s["o"] + t_safe_pre[..., None] * s["d"]
-            w_b = bsdf_mis_scale(lights, s["o"], p_hit_pre, s["prev_pdf_b"])
+            w_b = bsdf_mis_scale(lights, s["o"], p_hit, s["prev_pdf_b"])
             emit_scale = jnp.where(
                 (h.mat_kind == 4) & (s["prev_pdf_b"] > 0.0), w_b, 1.0
             )
@@ -205,8 +205,6 @@ def trace_paths(
         if lights is not None:
             from .lights import nee_contribution
 
-            t_safe_ = jnp.where(h.hit, h.t, 1.0)
-            p = s["o"] + t_safe_[..., None] * s["d"]
             ul = uniform4(
                 pixel_id,
                 sample_id,
@@ -214,7 +212,7 @@ def trace_paths(
                 jnp.uint32(seed & 0xFFFFFFFF),
             )
             direct = nee_contribution(
-                hit_fn, p, h.normal, h.albedo, lights, ul
+                hit_fn, p_hit, h.normal, h.albedo, lights, ul
             )
             nee_mask = hit_active & is_lam
             radiance = radiance + jnp.where(
@@ -226,7 +224,6 @@ def trace_paths(
         )
         still_active = hit_active & ~sc.terminate
 
-        t_safe = jnp.where(h.hit, h.t, 1.0)
         new_o = jnp.where(
             hit_active[..., None], s["o"] + t_safe[..., None] * s["d"], s["o"]
         )

@@ -51,22 +51,26 @@ class SphereLights(NamedTuple):
         return self.centers.shape[0]
 
 
-def extract_lights(scene) -> SphereLights | None:
+def extract_lights(scene, return_ids: bool = False):
     """Emissive spheres of a SphereScene, or None if the scene has none.
 
     Host-side numpy (never traced): the light list is static scene data,
-    like the kernels' packed tables.
+    like the kernels' packed tables. ``return_ids=True`` additionally
+    returns the lamps' sphere indices in ``scene``'s ordering (the
+    kernels' id space — the worklist shadow walk excludes the sampled
+    lamp's own hit by this id).
     """
     kind = np.asarray(scene.mat_kind)
-    emi = kind == 4
-    if not emi.any():
-        return None
+    ids = np.where(kind == 4)[0]
+    if ids.size == 0:
+        return (None, ids) if return_ids else None
     alb = np.asarray(scene.albedo, np.float32)
-    return SphereLights(
-        centers=np.asarray(scene.centers, np.float32)[emi],
-        radii=np.abs(np.asarray(scene.radii, np.float32)[emi]),
-        emit=alb[emi],
+    lights = SphereLights(
+        centers=np.asarray(scene.centers, np.float32)[ids],
+        radii=np.abs(np.asarray(scene.radii, np.float32)[ids]),
+        emit=alb[ids],
     )
+    return (lights, ids) if return_ids else lights
 
 
 def sample_sphere_cone(p: Array, c: Array, r, u1: Array, u2: Array):

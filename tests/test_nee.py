@@ -221,7 +221,7 @@ def test_mis_weights_partition_unity():
     from csgrenderer_tpu.render.lights import bsdf_mis_scale
 
     rng = np.random.default_rng(3)
-    lights = SphereLights = extract_lights(small_scene())
+    lights = extract_lights(small_scene())
     c = np.asarray(lights.centers[0])
     r = float(lights.radii[0])
     nl = lights.num_lights
