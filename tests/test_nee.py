@@ -249,3 +249,54 @@ def test_mis_weights_partition_unity():
     inside = jnp.broadcast_to(jnp.asarray(c), (4, 3))
     w_in = bsdf_mis_scale(lights, inside, hitp[:4], cos[:4] / np.pi)
     np.testing.assert_allclose(np.asarray(w_in), 1.0, atol=1e-6)
+
+
+def test_grid_shadow_segment_occlusion_semantics():
+    """Deterministic shadow test through the grid path: a blocker between
+    the lit floor region and the lamp must darken exactly that region,
+    and removing it must restore the light — both vs the jnp reference."""
+    rng = np.random.default_rng(11)
+
+    def scene_with(blocker_radius):
+        centers = [[0.0, -1000.0, 0.0], [0.0, 4.0, 0.0],
+                   [0.0, 2.0, 0.0]]
+        radii = [1000.0, 0.5, blocker_radius]
+        kinds = [1, 4, 1]
+        albs = [[0.7, 0.7, 0.7], [20.0, 20.0, 20.0], [0.1, 0.1, 0.1]]
+        prms = [0.0, 0.0, 0.0]
+        # filler ring far from the shadow axis so the scene grids
+        for k in range(60):
+            ang = 2 * np.pi * k / 60
+            centers.append([6.0 * np.cos(ang), 0.2, 6.0 * np.sin(ang)])
+            radii.append(0.2)
+            kinds.append(1)
+            albs.append(rng.random(3).tolist())
+            prms.append(0.0)
+        return SphereScene(
+            centers=jnp.asarray(np.asarray(centers, np.float32)),
+            radii=jnp.asarray(np.asarray(radii, np.float32)),
+            mat_kind=jnp.asarray(np.asarray(kinds, np.int32)),
+            albedo=jnp.asarray(np.asarray(albs, np.float32)),
+            mat_param=jnp.asarray(np.asarray(prms, np.float32)),
+        )
+
+    cam = Camera.look_at((0.0, 3.0, 6.0), (0.0, 0.0, 0.0),
+                         vfov_degrees=40.0, aspect_ratio=1.0)
+    imgs = {}
+    for name, rb in (("blocked", 0.8), ("open", 1e-4)):
+        scene = scene_with(rb)
+        img_k, _ = render_image_pallas(
+            scene, cam, 32, 32, spp=8, max_bounces=3, seed=4, sky="black",
+            nee=True, interpret=True, worklist=True,
+        )
+        img_j, _ = render_image(
+            scene.nearest_hit, cam, 32, 32, spp=8, max_bounces=3, seed=4,
+            sky="black", lights=extract_lights(scene),
+        )
+        k, j = np.asarray(img_k), np.asarray(img_j)
+        # kernel == reference up to bf16-table silhouette drift
+        assert float(np.sqrt(((k - j) ** 2).mean())) < 2e-3
+        imgs[name] = k
+    # the umbra under the blocker (image center) is much darker than open
+    c = slice(12, 20)
+    assert imgs["blocked"][c, c].mean() < 0.25 * imgs["open"][c, c].mean()
