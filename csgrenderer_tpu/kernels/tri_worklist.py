@@ -163,8 +163,8 @@ _PACK_CACHE: dict = {}
 def pack_tri_grid(
     mesh,
     m_max: int = 64,
-    max_dense: int = 8192,
-    max_compact: int = 1024,
+    max_dense: int = 16384,
+    max_compact: int = 2048,
     min_grid_faces: int = 192,
     footprint_factor: float = 6.0,
     max_globals: int = 16,
@@ -292,7 +292,12 @@ def pack_tri_grid(
     ext = float(np.max(np.max(fmax[grid_mask], axis=0)
                        - np.min(fmin[grid_mask], axis=0)))
     best = None
-    for n_side in (3, 4, 5, 6, 8, 10, 12, 16, 20, 24):
+    for n_side in (3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32, 40, 48, 64):
+        if best is not None and n_side > 24:
+            # the fine rungs exist for DENSE meshes (10k+ faces) whose
+            # coarser cells overflow m_max everywhere; when a coarser
+            # rung already fits, finer ones only add host pack time
+            break
         cell = ext / n_side + 1e-9
         built = build(cell, grid_mask)
         if built is None:
