@@ -68,6 +68,13 @@ N_ATTRS = len(ATTR_NAMES)
 # iota (tier offsets stay far below), bf16-exact (256 * 255)
 PAD_CI = 65280.0
 
+# dense maps wider than this use the two-level page-split layout: the
+# flat lookup's one-hot compare costs O(dense_pad/8) vector ops per row
+# group, the paged one a fixed ~O(n_pages/8 + 32); the crossover is
+# where the fixed within-page select (two 128-row masked sums) stops
+# dominating
+_PAGED_MIN = 1024
+
 
 class TriGridStatic(NamedTuple):
     """Hashable static grid config baked into the kernel at trace time.
@@ -90,11 +97,18 @@ class TriGridStatic(NamedTuple):
     y0: float
     z0: float
     cell: float  # voxel edge length (cubic)
+    # two-level dense map (round 2b): voxel id = page * 128 + slot; the
+    # lookup becomes page-one-hot [n_pages,128] -> MXU page gather ->
+    # within-page masked sum — O(n_pages + 128) vector ops instead of
+    # O(dense_pad), the 15k-face bottleneck. 0 = flat [2, dense_pad] map
+    # (small scenes, where the flat compare is already cheaper).
+    n_pages: int = 0
 
 
 class TriGridPack(NamedTuple):
     static: TriGridStatic
-    dense_map: np.ndarray  # [2, dense_pad] f32 (bf16-exact): compact hi/lo
+    dense_map: np.ndarray  # flat [2, dense_pad] or paged [256, pages] f32
+    # (bf16-exact compact-id hi/lo; layout chosen by static.n_pages)
     tables: tuple  # per tier: [N_SECTIONS*m, width] f32 (bf16-exact)
     mats: np.ndarray  # [8, mat_pad] f32: kind, param, alb_r/g/b (+0 rows)
     globals_idx: np.ndarray  # original face indices brute-forced every wave
@@ -361,7 +375,9 @@ def pack_tri_grid(
         offset += w
     n_compact = offset
 
-    # dense map: PAD_CI everywhere (pad + empty voxels), real cells set below
+    # dense map: PAD_CI everywhere (pad + empty voxels), real cells set
+    # below. Built flat [2, dense_pad] first; repacked page-major after
+    # the fill when the two-level layout pays (see _PAGED_MIN).
     dense_map = np.zeros((2, dense_pad), np.float32)
     dense_map[0, :] = np.float32(256 * (int(PAD_CI) // 256))
     dense_map[1, :] = np.float32(int(PAD_CI) % 256)
@@ -418,10 +434,23 @@ def pack_tri_grid(
         albedo=np.asarray(mesh.albedo)[globals_idx],
         mat_param=np.asarray(mesh.mat_param)[globals_idx],
     )
+    n_pages = 0
+    if dense_pad > _PAGED_MIN:
+        # page-major repack: entry v = page * 128 + slot lives at
+        # [slot, page] (hi) / [128 + slot, page] (lo)
+        n_pages = dense_pad // 128
+        pages_pad = max(8, int(np.ceil(n_pages / 8.0)) * 8)
+        paged = np.zeros((256, pages_pad), np.float32)
+        paged[0:128, :] = np.float32(256 * (int(PAD_CI) // 256))
+        paged[128:256, :] = np.float32(int(PAD_CI) % 256)
+        paged[0:128, :n_pages] = dense_map[0].reshape(n_pages, 128).T
+        paged[128:256, :n_pages] = dense_map[1].reshape(n_pages, 128).T
+        dense_map = paged
     static = TriGridStatic(
         nx=nxc, ny=nyc, nz=nzc, dense_pad=dense_pad, tiers=tuple(tiers),
         n_compact=n_compact,
         x0=float(g0[0]), y0=float(g0[1]), z0=float(g0[2]), cell=float(cell),
+        n_pages=n_pages,
     )
     # global-face material ids (for the shared shade-time mat gather)
     glob_mat = face_mat[globals_idx].astype(np.float32)
@@ -531,29 +560,68 @@ def _dda_advance3(gs: TriGridStatic, walk, d, act, t_best):
 
 
 def _compact_lookup(gs: TriGridStatic, dense_tab, walk, act):
-    """Dense voxel id -> compact cell id planes via the tiny 2-row one-hot
-    matmul. Inactive lanes fetch the dense pad column."""
+    """Dense voxel id -> compact cell id planes. Inactive lanes fetch the
+    dense pad entry.
+
+    Flat layout (n_pages == 0): one [dense_pad, 128] one-hot against the
+    2-row map — O(dense_pad/8) vector ops per row group, fine for small
+    grids. Paged layout: voxel id = page * 128 + slot; a [pages, 128]
+    one-hot gathers the whole 128-entry page (hi rows 0-127, lo rows
+    128-255) through the MXU, then the slot entry is extracted with two
+    128-row masked sums — fixed cost regardless of grid size (the 15k-face
+    scaling fix, doc/PERF_NOTES)."""
     ix, iy, iz = walk[0], walk[1], walk[2]
     pad_dense = np.int32(gs.dense_pad - 1)
     dense_id = jnp.where(
         act, (ix * gs.ny + iy) * gs.nz + iz, pad_dense
     )
-    dense_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (gs.dense_pad, TILE_LANES), 0
+    if gs.n_pages == 0:
+        dense_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (gs.dense_pad, TILE_LANES), 0
+        )
+        rows_hi = []
+        rows_lo = []
+        for g in range(TILE_ROWS):
+            onehot = (
+                dense_iota == dense_id[g : g + 1]
+            ).astype(dense_tab.dtype)
+            got = jax.lax.dot_general(
+                dense_tab, onehot,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [2, 128]
+            rows_hi.append(got[0:1])
+            rows_lo.append(got[1:2])
+        ci = (jnp.concatenate(rows_hi, axis=0)
+              + jnp.concatenate(rows_lo, axis=0))
+        return ci  # [8,128] f32 compact cell ids
+
+    pages_pad = dense_tab.shape[1]
+    page_id = dense_id >> 7  # // 128
+    slot_id = dense_id & 127
+    page_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (pages_pad, TILE_LANES), 0
     )
-    rows_hi = []
-    rows_lo = []
+    slot_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (128, TILE_LANES), 0
+    )
+    rows = []
     for g in range(TILE_ROWS):
-        onehot = (dense_iota == dense_id[g : g + 1]).astype(dense_tab.dtype)
-        got = jax.lax.dot_general(
+        onehot = (page_iota == page_id[g : g + 1]).astype(dense_tab.dtype)
+        page = jax.lax.dot_general(
             dense_tab, onehot,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [2, 128]
-        rows_hi.append(got[0:1])
-        rows_lo.append(got[1:2])
-    ci = jnp.concatenate(rows_hi, axis=0) + jnp.concatenate(rows_lo, axis=0)
-    return ci  # [8,128] f32 compact cell ids
+        )  # [256, 128]: the lane's whole page (hi 0-127, lo 128-255)
+        sel = slot_iota == slot_id[g : g + 1]
+        hi = jnp.sum(
+            jnp.where(sel, page[0:128], 0.0), axis=0, keepdims=True
+        )
+        lo = jnp.sum(
+            jnp.where(sel, page[128:256], 0.0), axis=0, keepdims=True
+        )
+        rows.append(hi + lo)
+    return jnp.concatenate(rows, axis=0)  # [8,128] f32 compact cell ids
 
 
 def tri_grid_step(gs: TriGridStatic, dense_tab, tri_tabs, state, o, d,

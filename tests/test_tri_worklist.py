@@ -85,10 +85,14 @@ def test_packer_invariants():
     assert off == gs.n_compact
 
 
-def test_walk_matches_brute_mt_fuzz():
-    mesh = demo_mesh()
+@pytest.mark.parametrize("sub", [2, 3])
+def test_walk_matches_brute_mt_fuzz(sub):
+    """sub=2 exercises the flat dense map, sub=3 (3842 faces) the
+    two-level PAGED map (round 2b scaling fix)."""
+    mesh = demo_mesh(sub)
     pack, glob_mesh, _ = pack_tri_grid(mesh)
     gs = pack.static
+    assert (gs.n_pages > 0) == (sub == 3)  # paged layout kicks in
     dense, tabs = bf16_tables(pack)
 
     rng = np.random.default_rng(0)
