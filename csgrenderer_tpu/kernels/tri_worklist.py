@@ -439,7 +439,8 @@ def pack_tri_grid(
         # page-major repack: entry v = page * 128 + slot lives at
         # [slot, page] (hi) / [128 + slot, page] (lo)
         n_pages = dense_pad // 128
-        pages_pad = max(8, int(np.ceil(n_pages / 8.0)) * 8)
+        # n_pages >= 9 here (dense_pad > _PAGED_MIN), so pages_pad >= 16
+        pages_pad = int(np.ceil(n_pages / 8.0)) * 8
         paged = np.zeros((256, pages_pad), np.float32)
         paged[0:128, :] = np.float32(256 * (int(PAD_CI) // 256))
         paged[128:256, :] = np.float32(int(PAD_CI) % 256)

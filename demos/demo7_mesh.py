@@ -50,8 +50,8 @@ def main(argv=None):
                     choices=["auto", "pallas", "jnp"])
     ap.add_argument("--subdiv", type=int, default=2,
                     help="icosphere subdivision (2 -> 962 faces, "
-                    "3 -> 3842; brute force OOMs past ~2000, the voxel "
-                    "worklists keep going)")
+                    "3 -> 3842, 4 -> 15362; brute force OOMs past ~2000, "
+                    "the voxel worklists + paged dense map keep going)")
     ap.add_argument("--worklist", default="auto", choices=["auto", "off"],
                     help="per-voxel triangle worklists (auto) or brute")
     args = ap.parse_args(argv)

@@ -74,9 +74,32 @@ def test_packer_invariants():
     # gridded counts (face, voxel) PAIRS >= number of gridded faces
     assert gridded >= mesh.num_faces - pack.globals_idx.shape[0]
     # dense map: every non-pad value decodes to a valid compact id
+    assert gs.n_pages == 0  # the sub=2 mesh stays on the flat layout
     ci = pack.dense_map[0] + pack.dense_map[1]
     real = ci[ci < PAD_CI]
     assert real.size > 0 and real.max() < gs.n_compact
+
+
+def test_paged_dense_map_roundtrip():
+    """The page-major repack must decode back to the flat map: entry
+    v = page*128 + slot lives at [slot, page] (hi) / [128+slot, page]
+    (lo), padded page columns hold PAD_CI."""
+    mesh = demo_mesh(3)
+    pack, _, _ = pack_tri_grid(mesh)
+    gs = pack.static
+    assert gs.n_pages > 0
+    paged = pack.dense_map
+    assert paged.shape[0] == 256
+    flat = (paged[0:128, : gs.n_pages]
+            + paged[128:256, : gs.n_pages]).T.reshape(-1)
+    real = flat[flat < PAD_CI]
+    assert real.size > 0 and real.max() < gs.n_compact
+    # padded page columns are pure PAD
+    if paged.shape[1] > gs.n_pages:
+        extra = paged[0:128, gs.n_pages:] + paged[128:256, gs.n_pages:]
+        assert (extra == PAD_CI).all()
+    # distinct decoded ids = the real (non-pad) compact cells
+    assert np.unique(real).size <= gs.n_compact
     # tier offsets tile the compact id space
     off = 0
     for m, w, toff in gs.tiers:
@@ -138,8 +161,10 @@ def test_walk_matches_brute_mt_fuzz(sub):
     assert rel.max() < 5e-3
 
 
-@pytest.mark.parametrize("sub", [2])
+@pytest.mark.parametrize("sub", [2, 3])
 def test_grid_kernel_matches_reference(sub):
+    # sub=3 runs the PAGED dense map through the real kernel path
+    # (interpret mode): table shapes, dense_ref plumbing, page decode
     mesh = demo_mesh(sub)
     cam = Camera.look_at(
         (0.0, 1.6, 2.2), (0.0, 0.7, -2.6),
