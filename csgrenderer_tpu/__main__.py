@@ -28,7 +28,7 @@ def _add_common(ap):
     ap.add_argument("--out", default="out.png")
 
 
-SCENES = ("milestone01", "diffuse", "csg", "rtiow", "deepcsg")
+SCENES = ("milestone01", "diffuse", "csg", "rtiow", "deepcsg", "csgnight")
 
 
 def _build(scene_name: str, aspect: float):
@@ -36,6 +36,7 @@ def _build(scene_name: str, aspect: float):
     from csgrenderer_tpu.models import (
         animated_csg_scene,
         config3_csg_scene,
+        csg_night_scene,
         rtiow_final_scene,
         two_spheres_scene,
     )
@@ -60,6 +61,13 @@ def _build(scene_name: str, aspect: float):
             Camera.look_at((13, 2, 3), (0, 0, 0), vfov_degrees=20.0,
                            aspect_ratio=aspect, aperture=0.1, focus_dist=10.0),
             dict(lens=True),
+        )
+    if scene_name == "csgnight":
+        return (
+            csg_night_scene().compile(k=4),
+            Camera.look_at((4.5, 2.6, 4.8), (0.0, 0.8, 0.3),
+                           vfov_degrees=38.0, aspect_ratio=aspect),
+            dict(sky="black", nee=True),
         )
     if scene_name == "deepcsg":
         graph, animate = animated_csg_scene(8)

@@ -9,9 +9,10 @@ functional replacement for the reference's uniform-buffer update
 (renderer.c:2132-2155).
 
 - ``WololoRenderer``       — milestone-01 animated frame (config 1)
-- ``PathTraceRenderer``    — any SphereScene or CompiledTape, optional
-                             per-frame animation fn, optional progressive
-                             accumulation across frames (config 2/3/4/5)
+- ``PathTraceRenderer``    — any SphereScene, CompiledTape, or MeshScene,
+                             optional per-frame animation fn, optional
+                             progressive accumulation across frames
+                             (config 2/3/4/5 + the mesh milestone)
 """
 
 from __future__ import annotations
@@ -27,6 +28,7 @@ from ..camera.pinhole import Camera
 from ..io.checkpoint import Accumulator
 from ..render import integrator, tonemap
 from ..render.integrator import SphereScene
+from ..render.trimesh import MeshScene
 from ..scene.tape import CompiledTape
 from ..utils.config import RenderConfig
 
@@ -110,18 +112,19 @@ class PathTraceRenderer:
             backend = "pallas" if jax.devices()[0].platform != "cpu" else "jnp"
         self.backend = backend
 
-        # NEE is an emissive-SphereScene feature on both backends. For the
-        # jitted jnp path the lights are extracted HOST-SIDE here (inside
-        # jit the scene arrays are tracers): lamp positions snapshot the
+        # NEE is an emissive-sphere feature (SphereScene lamps or emissive
+        # sphere LEAVES of a CompiledTape) on both backends. For the jitted
+        # jnp path the lights are extracted HOST-SIDE here (inside jit the
+        # scene arrays are tracers): lamp positions snapshot the
         # constructor's scene — so ``animate`` (which could move lamps)
         # is rejected rather than silently diverging from the pallas
-        # path, which re-extracts per call.
+        # path, which re-extracts (or reads the leaf table) per call.
         nee_lights = None
         if cfg.nee:
-            if not isinstance(scene, SphereScene):
+            if not isinstance(scene, (SphereScene, CompiledTape)):
                 raise ValueError(
-                    "RenderConfig.nee is for emissive SphereScenes; "
-                    f"got {type(scene).__name__}"
+                    "RenderConfig.nee is for emissive SphereScenes or "
+                    f"CompiledTapes; got {type(scene).__name__}"
                 )
             if backend != "pallas":
                 if animate is not None:
@@ -130,9 +133,12 @@ class PathTraceRenderer:
                         "the constructor-time lamp positions; use "
                         "backend='pallas' (re-extracts lights per call)"
                     )
-                from ..render.lights import extract_lights
+                from ..render.lights import extract_lights, extract_tape_lights
 
-                nee_lights = extract_lights(scene)
+                if isinstance(scene, SphereScene):
+                    nee_lights = extract_lights(scene)
+                else:
+                    nee_lights = extract_tape_lights(scene)
                 if nee_lights is None:
                     raise ValueError(
                         "RenderConfig.nee but the scene has no emissive "
@@ -209,6 +215,8 @@ def _hit_fn_for(scene, eps: float = 1e-3):
         return partial(SphereScene.nearest_hit, scene, eps=eps)
     if isinstance(scene, CompiledTape):
         return partial(integrator.tape_hit_adapter, scene, eps=eps)
+    if isinstance(scene, MeshScene):
+        return partial(MeshScene.nearest_hit, scene, eps=eps)
     raise TypeError(f"unsupported scene type {type(scene)}")
 
 
@@ -226,6 +234,15 @@ def _render_pallas(scene, camera, cfg: RenderConfig, sample_base, interpret=Fals
         from ..kernels import render_image_tape_pallas
 
         return render_image_tape_pallas(
+            scene, camera, cfg.width, cfg.height, spp=cfg.spp,
+            max_bounces=cfg.max_bounces, seed=cfg.seed, sky=cfg.sky,
+            lens=cfg.lens, sample_offset=sample_base, interpret=interpret,
+            nee=cfg.nee,
+        )
+    if isinstance(scene, MeshScene):
+        from ..kernels import render_image_mesh_pallas
+
+        return render_image_mesh_pallas(
             scene, camera, cfg.width, cfg.height, spp=cfg.spp,
             max_bounces=cfg.max_bounces, seed=cfg.seed, sky=cfg.sky,
             lens=cfg.lens, sample_offset=sample_base, interpret=interpret,

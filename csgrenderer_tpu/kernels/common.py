@@ -493,6 +493,50 @@ def bsdf_mis_scale_planes(n_lights, c, inv_r, o, pdf_b):
     return q / (q + 1.0)
 
 
+def bsdf_mis_scale_table_planes(light_scal, n_lights, p_hit, o, pdf_b):
+    """Plane twin of render/lights.bsdf_mis_scale for kernels whose winner
+    attributes carry no lamp geometry (the CSG tape path): the lamp
+    containing ``p_hit`` is identified by min |dist(p_hit, c_l) - r_l|
+    over the (few) light scalars — the same argmin the jnp reference
+    runs over its light table — then w_B = q / (q + 1) with
+    q = pdf_b * L * ip, ip the cone inv-pdf from ``o`` (BIG inside)."""
+    hx, hy, hz = p_hit
+    ox, oy, oz = o
+    best_score = None
+    cx = cy = cz = r_ = None
+    for i in range(n_lights):
+        s = light_scal[i]
+        dx_, dy_, dz_ = hx - s[0], hy - s[1], hz - s[2]
+        dist = jnp.sqrt(dot3(dx_, dy_, dz_, dx_, dy_, dz_))
+        score = jnp.abs(dist - s[3])
+        if best_score is None:
+            best_score = score
+            cx = jnp.zeros_like(hx) + s[0]
+            cy = jnp.zeros_like(hx) + s[1]
+            cz = jnp.zeros_like(hx) + s[2]
+            r_ = jnp.zeros_like(hx) + s[3]
+        else:
+            better = score < best_score  # strict: first min wins (argmin)
+            best_score = jnp.where(better, score, best_score)
+            cx = jnp.where(better, s[0], cx)
+            cy = jnp.where(better, s[1], cy)
+            cz = jnp.where(better, s[2], cz)
+            r_ = jnp.where(better, s[3], r_)
+    tox, toy, toz = cx - ox, cy - oy, cz - oz
+    dist2 = dot3(tox, toy, toz, tox, toy, toz)
+    r2 = r_ * r_
+    outside = dist2 > r2 * np.float32(1.0 + 1e-6)
+    cos_max = jnp.sqrt(
+        jnp.maximum(0.0, 1.0 - r2 / jnp.maximum(dist2, jnp.float32(1e-20)))
+    )
+    ip = jnp.where(
+        outside, jnp.float32(2.0 * np.pi) * (1.0 - cos_max),
+        jnp.float32(1e30),
+    )
+    q = pdf_b * np.float32(n_lights) * ip
+    return q / (q + 1.0)
+
+
 def nee_planes(
     light_scal, n_lights, p, n, alb, occlusion_t,
     pix_u, cur_s, b_plane, seed,

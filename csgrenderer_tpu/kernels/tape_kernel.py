@@ -53,10 +53,13 @@ from .common import (
     TILE,
     TILE_LANES,
     TILE_ROWS,
+    bsdf_mis_scale_table_planes,
     camera_ray_planes,
     classic_wavefront,
     dot3,
+    nee_planes,
     pcg4d_planes,
+    scatter_pdf_lam_planes,
     shade_and_advance,
 )
 
@@ -300,7 +303,7 @@ def _pack_program(tape: CompiledTape):
 
 
 def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix,
-                 count_dropped=False):
+                 count_dropped=False, nee_lamps=()):
     ops, leaf_types, k = program
     n_leaves = len(leaf_types)
     inv_w = np.float32(1.0 / width)
@@ -553,21 +556,82 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix,
                 s_plane, seed, inv_w, inv_h, lens,
             )
 
-        def bounce_step(b, s, pu, o, d, thr, rad, active_i, rays, over):
+        n_lights = len(nee_lamps)
+        if n_lights:
+            # lamp scalars straight from the SMEM leaf table (no separate
+            # lights input): pos(4:7), radius(7), emitted radiance = albedo
+            # (13:16); sphere_id = -1 (occlusion is by distance tolerance —
+            # the tape has no per-surface id space)
+            light_scal = [
+                [
+                    leaf_scal[l][4], leaf_scal[l][5], leaf_scal[l][6],
+                    leaf_scal[l][7], leaf_scal[l][13], leaf_scal[l][14],
+                    leaf_scal[l][15], np.float32(-1.0),
+                ]
+                for l in nee_lamps
+            ]
+
+            def occlusion_t(p, ld):
+                """Shadow test = the event-flip evaluator along the shadow
+                ray (nearest CSG surface distance, no attribution)."""
+                t_occ, _, _ = tape_hit_events(p, ld)
+                return t_occ
+
+        def bounce_step(b, s, pu, o, d, thr, rad, active_i, rays, extra):
             """One bounce for the whole tile (classic_wavefront callback)."""
+            over, prevpdf = extra
             active = active_i > 0
             t, hit, entering, n, kind, param, alb, dropped = tape_hit(o, d)
+            emit_scale = None
+            pu_cur = pix_u if pu is None else pu
+            if n_lights:
+                # MIS NEE, the tape realization of the megakernel's classic
+                # path: direct light at lambertian vertices (shadow ray =
+                # one extra event-flip evaluation), lamp emission found BY
+                # a lambertian scatter carries the balance-heuristic
+                # partner weight (lamp looked up from the light scalars —
+                # the winner attrs carry no lamp geometry here)
+                t_safe = jnp.where(hit, t, 1.0)
+                hpx = o[0] + t_safe * d[0]
+                hpy = o[1] + t_safe * d[1]
+                hpz = o[2] + t_safe * d[2]
+                w_b = bsdf_mis_scale_table_planes(
+                    light_scal, n_lights, (hpx, hpy, hpz), o, prevpdf
+                )
+                emit_scale = jnp.where(
+                    (kind == 4.0) & (prevpdf > 0.0) & (b > jnp.uint32(0)),
+                    w_b, 1.0,
+                )
+                dr, dg, db = nee_planes(
+                    light_scal, n_lights, (hpx, hpy, hpz), n, alb,
+                    occlusion_t, pu_cur, s, b, seed,
+                )
+                is_lam = kind == 1.0
+                nee_mask = active & hit & is_lam
+                rr, rg, rb = rad
+                rr = rr + jnp.where(nee_mask, thr[0] * dr, 0.0)
+                rg = rg + jnp.where(nee_mask, thr[1] * dg, 0.0)
+                rb = rb + jnp.where(nee_mask, thr[2] * db, 0.0)
+                rad = (rr, rg, rb)
             # ``entering`` is the solid-level front-face flag — correct on
             # subtracted surfaces where a dot-product test is not
             (o, d, thr, rad, term) = shade_and_advance(
                 active, t, hit, n, entering, kind, param, alb,
-                o, d, thr, rad, pix_u if pu is None else pu, s, b, seed, sky,
+                o, d, thr, rad, pu_cur, s, b, seed, sky,
+                emit_scale=emit_scale,
             )
             rays = rays + active_i
             if count_dropped:
                 over = over + jnp.where(active, dropped, 0)
-            active_i = (active & hit & ~term).astype(jnp.int32)
-            return o, d, thr, rad, active_i, rays, over
+            cont = active & hit & ~term
+            if n_lights:
+                # carried cosine pdf of the scatter (the MIS pairing)
+                prevpdf = jnp.where(
+                    cont & is_lam,
+                    scatter_pdf_lam_planes(n, d), 0.0,
+                )
+            active_i = cont.astype(jnp.int32)
+            return o, d, thr, rad, active_i, rays, (over, prevpdf)
 
         # NOTE: the rotating strided sample assignment (classic_wavefront's
         # rotate=...) was MEASURED SLOWER here (config5 167 -> 114 Mrays/s):
@@ -576,15 +640,16 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix,
         # the scatter/pixel-recompute overhead is pure cost. Sphere scenes
         # (megakernel) are the opposite case. Keep the plain loop.
         zero_i = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32)
+        zero_f = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.float32)
         state = classic_wavefront(
             bounce_step, camera_rays, spp, max_bounces, in_image,
-            sample_offset.astype(jnp.uint32), extra0=zero_i,
+            sample_offset.astype(jnp.uint32), extra0=(zero_i, zero_f),
         )
         out_r_ref[:] = state["rad"][0]
         out_g_ref[:] = state["rad"][1]
         out_b_ref[:] = state["rad"][2]
         rays_ref[:] = state["rays"]
-        over_ref[:] = state["extra"]
+        over_ref[:] = state["extra"][0]
 
     return kernel
 
@@ -593,14 +658,14 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix,
     jax.jit,
     static_argnames=(
         "program", "width", "height", "spp", "max_bounces", "lens", "sky",
-        "count_dropped",
+        "count_dropped", "nee_lamps",
         "interpret", "rows",
     ),
 )
 def _render_tape_packed(
     program, leaf_tab, cam_row, width, height, spp, max_bounces,
     seed, sample_offset, lens, sky, interpret, rows, row_offset,
-    count_dropped,
+    count_dropped, nee_lamps=(),
 ):
     n_pix = width * rows  # this slab's pixel count (rows == height unsharded)
     n_tiles = pl.cdiv(n_pix, TILE)
@@ -611,7 +676,7 @@ def _render_tape_packed(
 
     kernel = _make_kernel(
         program, width, height, spp, max_bounces, lens, sky, n_pix,
-        count_dropped=count_dropped,
+        count_dropped=count_dropped, nee_lamps=nee_lamps,
     )
     plane = jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, TILE_LANES), jnp.float32)
     plane_spec = pl.BlockSpec(
@@ -655,6 +720,7 @@ def render_image_tape_pallas(
     rows: int | None = None,
     row_offset=0,
     with_overflow: bool = False,
+    nee: bool = False,
 ):
     """Drop-in for ``integrator.render_image`` on a CompiledTape scene.
 
@@ -663,11 +729,28 @@ def render_image_tape_pallas(
     returns the total count of CSG interval spans silently truncated by the
     K-slot capacity over all traced segments (0 == every evaluation was
     exact; the interval-capacity correctness cliff is detected, not silent).
+
+    ``nee=True`` enables MIS next-event estimation toward the tape's
+    emissive SPHERE leaves (render/lights.extract_tape_lights): the shadow
+    test is one extra event-flip evaluation per lambertian vertex, and
+    lamp scalars are read from the leaf table itself — so animated lamps
+    (``with_edges``) stay correct with no re-extraction.
     """
     if not jitter:
         raise NotImplementedError("tape kernel always jitters")
     from .megakernel import pack_camera
 
+    nee_lamps = ()
+    if nee:
+        from ..render.lights import extract_tape_lights
+
+        got = extract_tape_lights(tape, return_ids=True)
+        lights, lamp_ids = got if got is not None else (None, None)
+        if lights is None:
+            raise ValueError(
+                "nee=True but the tape has no emissive sphere leaves"
+            )
+        nee_lamps = tuple(int(i) for i in lamp_ids)
     program, leaf_tab = _pack_program(tape)
     cam_row = pack_camera(camera)
     image, rays, over = _render_tape_packed(
@@ -676,7 +759,7 @@ def render_image_tape_pallas(
         lens, sky, interpret,
         height if rows is None else rows,
         jnp.asarray(row_offset, jnp.int32),
-        with_overflow,
+        with_overflow, nee_lamps,
     )
     if with_overflow:
         return image, rays, over

@@ -1,6 +1,7 @@
 from .scenes import (
     animated_csg_scene,
     config3_csg_scene,
+    csg_night_scene,
     milestone01_scene_graph,
     night_scene,
     rtiow_final_scene,
@@ -14,4 +15,5 @@ __all__ = [
     "rtiow_final_scene",
     "animated_csg_scene",
     "night_scene",
+    "csg_night_scene",
 ]

@@ -168,6 +168,69 @@ def night_scene(seed: int = 7, grid: int = 6) -> SphereScene:
     )
 
 
+def csg_night_scene():
+    """Night scene built from CSG SOLIDS (the tape path's NEE showcase,
+    demo9): black sky, two emissive sphere LEAVES as lamps, boolean solids
+    on a ground plane. Returns the SceneGraph; compile with k>=4.
+
+    Content: a bitten sphere (sphere ∖ box), a glass lens (sphere ∩
+    sphere), a metal ring (cylinder ∖ cylinder), a warm key lamp and a
+    cool fill lamp — all unioned with an infinite ground plane.
+    """
+    g = SceneGraph(max_node_count=32, name="csg-night")
+
+    ground = g.add_infinite_planar_partition_node(
+        (0, 1, 0), Material.lambertian((0.45, 0.45, 0.48))
+    )
+
+    # bitten sphere: diffuse sphere minus a rotated box
+    s = g.add_sphere_node(1.0, Material.lambertian((0.75, 0.3, 0.25)))
+    bite = g.add_box_node((0.65, 0.65, 0.65), Material.lambertian((0.9, 0.75, 0.3)))
+    rot = tuple(
+        float(x)
+        for x in np.asarray(
+            quat.from_axis_angle(
+                jnp.array([0.0, 1.0, 0.0]), jnp.float32(0.6)
+            )
+        )
+    )
+    bitten = g.add_difference_of_node(
+        NodeArgument(s, offset=(-1.6, 1.0, -0.2)),
+        NodeArgument(bite, orientation=rot, offset=(-0.9, 1.7, 0.2)),
+    )
+
+    # glass lens: intersection of two offset spheres
+    l1 = g.add_sphere_node(0.9, Material.dielectric(1.5))
+    l2 = g.add_sphere_node(0.9, Material.dielectric(1.5))
+    lens = g.add_intersection_of_node(
+        NodeArgument(l1, offset=(1.4, 0.75, 0.75)),
+        NodeArgument(l2, offset=(1.4, 0.75, -0.35)),
+    )
+
+    # metal ring: cylinder minus a thinner cylinder
+    c_out = g.add_cylinder_node(0.8, 0.22, Material.metal((0.85, 0.8, 0.6), 0.08))
+    c_in = g.add_cylinder_node(0.55, 0.3, Material.metal((0.85, 0.8, 0.6), 0.08))
+    ring = g.add_difference_of_node(
+        NodeArgument(c_out, offset=(0.1, 0.22, 1.9)),
+        NodeArgument(c_in, offset=(0.1, 0.22, 1.9)),
+    )
+
+    # lamps: emissive sphere LEAVES riding the tape (extract_tape_lights)
+    key = g.add_sphere_node(0.5, Material.emissive((13.0, 10.5, 7.0)))
+    fill = g.add_sphere_node(0.3, Material.emissive((2.5, 4.5, 8.5)))
+
+    node = g.add_union_of_node(NodeArgument(bitten), NodeArgument(lens))
+    node = g.add_union_of_node(NodeArgument(node), NodeArgument(ring))
+    node = g.add_union_of_node(
+        NodeArgument(node), NodeArgument(key, offset=(1.2, 2.9, 0.6))
+    )
+    node = g.add_union_of_node(
+        NodeArgument(node), NodeArgument(fill, offset=(-2.8, 1.5, 1.8))
+    )
+    g.add_union_of_node(NodeArgument(node), NodeArgument(ground))
+    return g
+
+
 def animated_csg_scene(n_levels: int = 8):
     """Config 5: a depth-``n_levels`` CSG tree whose edges animate over time.
 

@@ -89,16 +89,14 @@ def render_image_sharded(
         rays = lax.psum(rays, (TILE_AXIS, SAMPLE_AXIS))
         return radiance_sum[None] / spp, rays
 
-    # check_vma=False: the integrator's fori_loop carries start as
-    # device-invariant zeros and only become device-varying through the loop
-    # body (tile/sample offsets); the varying-axis checker rejects that mixed
-    # carry even though the program is correct under manual sharding.
+    # vma checker ON (round-3): the integrator seeds its loop carries from
+    # value-dependent zeros derived from pixel/sample counters, so the
+    # carries enter with the varying-axis type the body produces.
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(),
         out_specs=(P(TILE_AXIS, None, None, None), P()),
-        check_vma=False,
     )
     stacked, rays = fn()
     return stacked.reshape(height, width, 3), rays
@@ -123,11 +121,12 @@ def render_scene_sharded(
     """Scene-level sharded render: Pallas kernels inside shard_map.
 
     The production multi-chip configuration: each device runs the fused
-    megakernel (SphereScene) or CSG tape kernel (CompiledTape) on its row
-    slab x sample shard; one psum over the sample axis accumulates. RNG and
-    camera use global pixel coordinates inside the kernels, so any mesh
-    shape reproduces the single-device image (same invariant as the jnp
-    path, tested on the CPU mesh with interpret=True).
+    megakernel (SphereScene), CSG tape kernel (CompiledTape), or triangle
+    kernel (MeshScene) on its row slab x sample shard; one psum over the
+    sample axis accumulates. RNG and camera use global pixel coordinates
+    inside the kernels, so any mesh shape reproduces the single-device
+    image (same invariant as the jnp path, tested on the CPU mesh with
+    interpret=True).
 
     ``backend``: "pallas" | "jnp" | "auto" (pallas off-CPU). ``nee``:
     next-event estimation toward emissive spheres (SphereScene only) —
@@ -137,12 +136,15 @@ def render_scene_sharded(
     import jax as _jax
 
     from ..render.integrator import SphereScene
+    from ..render.trimesh import MeshScene
     from ..scene.tape import CompiledTape
 
     if backend == "auto":
         backend = "pallas" if _jax.devices()[0].platform != "cpu" else "jnp"
-    if nee and not isinstance(scene, SphereScene):
-        raise NotImplementedError("nee is for emissive SphereScenes")
+    if nee and not isinstance(scene, (SphereScene, CompiledTape)):
+        raise NotImplementedError(
+            "nee is for emissive SphereScenes or CompiledTapes"
+        )
     if backend == "jnp":
         if nee:
             raise NotImplementedError(
@@ -150,6 +152,8 @@ def render_scene_sharded(
                 "(interpret=True on CPU) or use render_image with lights="
             )
         if isinstance(scene, SphereScene):
+            hit_fn = scene.nearest_hit
+        elif isinstance(scene, MeshScene):
             hit_fn = scene.nearest_hit
         else:
             from functools import partial
@@ -192,6 +196,12 @@ def render_scene_sharded(
             from ..kernels import render_image_tape_pallas
 
             radiance, rays = render_image_tape_pallas(
+                scene, camera, width, height, nee=nee, **kwargs
+            )
+        elif isinstance(scene, MeshScene):
+            from ..kernels import render_image_mesh_pallas
+
+            radiance, rays = render_image_mesh_pallas(
                 scene, camera, width, height, **kwargs
             )
         else:
@@ -200,6 +210,14 @@ def render_scene_sharded(
         rays = lax.psum(rays, (TILE_AXIS, SAMPLE_AXIS))
         return radiance_sum[None] / spp, rays
 
+    # check_vma=False is REQUIRED here by JAX itself (as of jax 0.9):
+    # pallas_call under an active vma checker rejects any kernel mixing
+    # varying inputs with invariant constants — "Primitive mul requires
+    # varying manual axes to match ... as a temporary workaround pass the
+    # check_vma=False argument to `jax.shard_map`". The jnp path above runs
+    # with the checker ON; tests/test_parallel.py::
+    # test_pallas_vma_checker_still_unsupported fails loudly when a future
+    # JAX makes this fixable, at which point this escape hatch goes away.
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,

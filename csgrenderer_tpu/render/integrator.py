@@ -151,16 +151,30 @@ def trace_paths(
     (black-sky) scenes.
     """
     batch = o.shape[:-1]
+    # Loop-carry zeros are derived from the RNG counters (pixel_id and
+    # sample_id cover the tile and sample mesh axes) instead of jnp.zeros:
+    # under shard_map the carry then starts with the varying-axis type the
+    # body produces, so the vma checker accepts the loop (the former
+    # check_vma=False escape hatch). o/d get the same +0 lift — a pinhole
+    # camera origin alone is device-invariant. Values are identical.
+    zero1 = jnp.broadcast_to(
+        (pixel_id * jnp.uint32(0) + sample_id * jnp.uint32(0)).astype(
+            jnp.float32
+        ),
+        batch,
+    )
+    zero3 = zero1[..., None] + jnp.zeros((3,), jnp.float32)
+    rays_dtype = jnp.int64 if jax.config.x64_enabled else jnp.int32
     state = dict(
-        o=o,
-        d=d,
-        throughput=jnp.ones(batch + (3,), jnp.float32),
-        radiance=jnp.zeros(batch + (3,), jnp.float32),
-        active=jnp.ones(batch, bool),
+        o=o + zero3,
+        d=d + zero3,
+        throughput=zero3 + 1.0,
+        radiance=zero3,
+        active=zero1 > -1.0,
         # cosine-pdf of the scatter that produced the CURRENT ray;
         # 0 = previous vertex was not lambertian (MIS partner weight)
-        prev_pdf_b=jnp.zeros(batch, jnp.float32),
-        rays=jnp.zeros((), jnp.int64 if jax.config.x64_enabled else jnp.int32),
+        prev_pdf_b=zero1,
+        rays=jnp.sum(zero1).astype(rays_dtype),
     )
 
     def bounce(b, s):
@@ -314,9 +328,15 @@ def render_tile(
         )
         return acc[0] + radiance, acc[1] + rays
 
+    # value-dependent zeros (see trace_paths): the accumulator starts with
+    # the varying-axis type of the per-sample contributions under shard_map
+    # (pixel_id covers the tile axis, sample_offset the sample axis)
+    pz = (pixel_id * jnp.uint32(0) + sample_offset * jnp.uint32(0)).astype(
+        jnp.float32
+    )
     acc0 = (
-        jnp.zeros((tile_height, tile_width, 3), jnp.float32),
-        jnp.zeros((), jnp.int64 if jax.config.x64_enabled else jnp.int32),
+        pz[..., None] + jnp.zeros((1, 1, 3), jnp.float32),
+        jnp.sum(pz).astype(jnp.int64 if jax.config.x64_enabled else jnp.int32),
     )
     return jax.lax.fori_loop(0, spp, one_sample, acc0)
 

@@ -73,6 +73,34 @@ def extract_lights(scene, return_ids: bool = False):
     return (lights, ids) if return_ids else lights
 
 
+def extract_tape_lights(tape, return_ids: bool = False):
+    """Emissive SPHERE leaves of a CompiledTape as SphereLights, or None.
+
+    The tape twin of ``extract_lights``: lamp centers are the leaves'
+    baked world positions (``leaf_pos``), radii their sphere parameter.
+    Exact for full-sphere lamps; a lamp whose sphere is modified by
+    boolean ops still samples the full sphere (the shadow test against
+    the real CSG surface keeps the estimator consistent wherever the
+    lamp surface exists). ``return_ids``: also return the lamp leaf
+    indices (static under topology — the kernel reads lamp scalars
+    straight from its SMEM leaf table, so animated lamp positions work
+    on the pallas path with zero re-extraction).
+    """
+    from ..scene.graph import NodeType
+
+    kinds = np.asarray(tape.mat_kind)
+    types = np.asarray(tape.leaf_types)
+    ids = np.where((kinds == 4) & (types == int(NodeType.SPHERE)))[0]
+    if ids.size == 0:
+        return (None, ids) if return_ids else None
+    lights = SphereLights(
+        centers=np.asarray(tape.leaf_pos, np.float32)[ids],
+        radii=np.abs(np.asarray(tape.leaf_params, np.float32)[ids, 0]),
+        emit=np.asarray(tape.albedo, np.float32)[ids],
+    )
+    return (lights, ids) if return_ids else lights
+
+
 def sample_sphere_cone(p: Array, c: Array, r, u1: Array, u2: Array):
     """Sample a direction from ``p`` toward sphere (c, r) uniformly in its
     subtended cone. Returns (unit direction [..., 3], inv_pdf [...]) with

@@ -300,3 +300,147 @@ def test_grid_shadow_segment_occlusion_semantics():
     # the umbra under the blocker (image center) is much darker than open
     c = slice(12, 20)
     assert imgs["blocked"][c, c].mean() < 0.25 * imgs["open"][c, c].mean()
+
+
+# -- CSG tape path NEE (round 3) ---------------------------------------------
+
+
+def small_csg_night_tape(k: int = 4):
+    """Compact emissive CSG scene (5 leaves — CPU-compile friendly):
+    ground plane + (sphere ∖ box) solid + metal sphere + one lamp leaf."""
+    from csgrenderer_tpu.scene.graph import Material, NodeArgument as NA, SceneGraph
+
+    g = SceneGraph(max_node_count=16)
+    ground = g.add_infinite_planar_partition_node(
+        (0, 1, 0), Material.lambertian((0.5, 0.5, 0.5))
+    )
+    s1 = g.add_sphere_node(1.0, Material.lambertian((0.7, 0.3, 0.3)))
+    b1 = g.add_box_node((0.7, 0.7, 0.7), Material.metal((0.8, 0.8, 0.9), 0.05))
+    solid = g.add_difference_of_node(
+        NA(s1, offset=(0, 1.0, -3)), NA(b1, offset=(0.5, 1.4, -2.6))
+    )
+    lamp = g.add_sphere_node(0.6, Material.emissive((6.0, 5.5, 5.0)))
+    u1 = g.add_union_of_node(NA(solid), NA(lamp, offset=(2.0, 2.5, -2.0)))
+    g.add_union_of_node(NA(u1), NA(ground))
+    return g.compile(k=k)
+
+
+TAPE_CAM = Camera.look_at(
+    (0, 2.0, 2.5), (0.3, 1.0, -2.5), vfov_degrees=50.0, aspect_ratio=2.0
+)
+
+
+def test_extract_tape_lights():
+    from csgrenderer_tpu.render.lights import extract_tape_lights
+
+    tape = small_csg_night_tape()
+    lights, ids = extract_tape_lights(tape, return_ids=True)
+    assert lights.num_lights == 1
+    np.testing.assert_allclose(lights.centers, [[2.0, 2.5, -2.0]], atol=1e-6)
+    np.testing.assert_allclose(lights.radii, [0.6])
+    np.testing.assert_allclose(lights.emit, [[6.0, 5.5, 5.0]])
+    # the id indexes the LEAF table (the kernel reads lamp scalars there)
+    assert tape.leaf_types[ids[0]] == 0  # sphere
+    # no emissive sphere leaves -> None
+    from csgrenderer_tpu.models import config3_csg_scene
+
+    assert extract_tape_lights(config3_csg_scene().compile(k=2)) is None
+
+
+def test_tape_kernel_nee_matches_jnp():
+    """The tape kernel's NEE shares RNG counters and estimator math with
+    the jnp reference (VERDICT r2 item 3)."""
+    from functools import partial
+
+    from csgrenderer_tpu.kernels import render_image_tape_pallas
+    from csgrenderer_tpu.render.integrator import tape_hit_adapter
+    from csgrenderer_tpu.render.lights import extract_tape_lights
+
+    tape = small_csg_night_tape()
+    lights = extract_tape_lights(tape)
+    ref, rrays = render_image(
+        partial(tape_hit_adapter, tape), TAPE_CAM, 48, 24, spp=3,
+        max_bounces=4, seed=7, sky="black", lights=lights,
+    )
+    img, krays = render_image_tape_pallas(
+        tape, TAPE_CAM, 48, 24, spp=3, max_bounces=4, seed=7, sky="black",
+        interpret=True, nee=True,
+    )
+    ref = np.asarray(ref)
+    img = np.asarray(img)
+    bad = (np.abs(img - ref).max(axis=-1) > 0.05).mean()
+    assert bad <= 0.01, f"{bad:.3%} divergent"
+    assert int(krays) == int(rrays)
+
+
+def test_tape_nee_reduces_variance():
+    """Equal-spp RMSE vs a converged reference must drop with NEE on the
+    lambertian-lit parts (the estimator's whole point)."""
+    from functools import partial
+
+    from csgrenderer_tpu.render.integrator import tape_hit_adapter
+    from csgrenderer_tpu.render.lights import extract_tape_lights
+
+    tape = small_csg_night_tape()
+    lights = extract_tape_lights(tape)
+    hit = partial(tape_hit_adapter, tape)
+    w, h, spp = 32, 16, 4
+    conv, _ = render_image(
+        hit, TAPE_CAM, w, h, spp=256, max_bounces=4, seed=11, sky="black",
+        lights=lights,
+    )
+    plain, _ = render_image(
+        hit, TAPE_CAM, w, h, spp=spp, max_bounces=4, seed=3, sky="black"
+    )
+    nee, _ = render_image(
+        hit, TAPE_CAM, w, h, spp=spp, max_bounces=4, seed=3, sky="black",
+        lights=lights,
+    )
+    conv = np.asarray(conv)
+    e_plain = float(np.sqrt(np.mean((np.asarray(plain) - conv) ** 2)))
+    e_nee = float(np.sqrt(np.mean((np.asarray(nee) - conv) ** 2)))
+    assert e_nee < e_plain, (e_nee, e_plain)
+
+
+def test_sharded_tape_nee_matches_single_device():
+    from csgrenderer_tpu.parallel import make_mesh, render_scene_sharded
+    from csgrenderer_tpu.kernels import render_image_tape_pallas
+
+    tape = small_csg_night_tape()
+    single, srays = render_image_tape_pallas(
+        tape, TAPE_CAM, 32, 16, spp=2, max_bounces=3, seed=7, sky="black",
+        interpret=True, nee=True,
+    )
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    img, rays = render_scene_sharded(
+        tape, TAPE_CAM, 32, 16, mesh, spp=2, max_bounces=3, seed=7,
+        sky="black", backend="pallas", interpret=True, nee=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(img), np.asarray(single), atol=1e-5
+    )
+    assert int(rays) == int(srays)
+
+
+def test_tape_nee_renderer_config():
+    """PathTraceRenderer accepts nee for CompiledTape on both backends."""
+    from csgrenderer_tpu.app import PathTraceRenderer
+    from csgrenderer_tpu.utils.config import RenderConfig
+
+    tape = small_csg_night_tape()
+    cfg = RenderConfig(width=32, height=16, spp=1, max_bounces=3, seed=1,
+                       sky="black", nee=True)
+    r = PathTraceRenderer(tape, TAPE_CAM, cfg, backend="jnp")
+    f = np.asarray(r.draw_frame(0.0))
+    assert f.shape == (16, 32, 3)
+    rp = PathTraceRenderer(tape, TAPE_CAM, cfg, backend="pallas",
+                           interpret=True)
+    fp = np.asarray(rp.draw_frame(0.0))
+    assert fp.shape == (16, 32, 3)
+    # no emissive leaves -> loud failure
+    from csgrenderer_tpu.models import config3_csg_scene
+
+    with pytest.raises(ValueError, match="emissive"):
+        PathTraceRenderer(
+            config3_csg_scene().compile(k=2), TAPE_CAM, cfg, backend="jnp"
+        )

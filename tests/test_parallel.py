@@ -103,3 +103,71 @@ def test_pallas_sharded_tape_scene(setup):
     )
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-4)
     assert int(rays) == int(ref_rays)
+
+
+def test_pallas_sharded_mesh_scene(setup):
+    """MeshScene through the production sharded path (VERDICT r2 item 1:
+    meshes are framework citizens — same multi-chip machinery as
+    spheres/tapes)."""
+    from csgrenderer_tpu.parallel import render_scene_sharded
+    from csgrenderer_tpu.render import icosphere, quad, render_image
+    from csgrenderer_tpu.scene.graph import Material
+
+    mesh_scene = icosphere((0, 0, -4), 1.0,
+                           Material.lambertian((0.6, 0.3, 0.3)), 1)
+    cam = Camera.look_at((0, 0, 0), (0, 0, -4), vfov_degrees=45,
+                         aspect_ratio=2.0)
+    ref, ref_rays = render_image(
+        mesh_scene.nearest_hit, cam, 64, 32, spp=2, max_bounces=3, seed=5
+    )
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    img, rays = render_scene_sharded(
+        mesh_scene, cam, 64, 32, mesh, spp=2, max_bounces=3, seed=5,
+        backend="pallas", interpret=True,
+    )
+    img = np.asarray(img)
+    assert img.shape == (32, 64, 3)
+    bad = (np.abs(img - np.asarray(ref)).max(axis=-1) > 0.05).mean()
+    assert bad <= 0.01, f"{bad:.3%} divergent"
+    assert abs(int(rays) - int(ref_rays)) <= max(int(ref_rays) * 2e-3, 8)
+
+    # jnp sharded path handles meshes too
+    img2, rays2 = render_scene_sharded(
+        mesh_scene, cam, 64, 32, mesh, spp=2, max_bounces=3, seed=5,
+        backend="jnp",
+    )
+    np.testing.assert_allclose(np.asarray(img2), np.asarray(ref), atol=1e-5)
+    assert int(rays2) == int(ref_rays)
+
+
+def test_pallas_vma_checker_still_unsupported():
+    """Canary for the ONE remaining check_vma=False escape hatch
+    (render_scene_sharded): jax 0.9's vma checker cannot type a pallas_call
+    whose kernel mixes varying inputs with invariant constants. When this
+    test FAILS (the micro-example below passes), remove the escape hatch in
+    parallel/shard.py and delete this test."""
+    from jax.experimental import pallas as pl
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("tile", "sample"))
+
+    def kern(x_ref, o_ref):
+        o_ref[:] = x_ref[:] * 2.0
+
+    def shard_fn():
+        i = jax.lax.axis_index("tile").astype(jnp.float32)
+        x = jnp.ones((8, 128), jnp.float32) + i
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct(
+                (8, 128), jnp.float32, vma=frozenset({"tile", "sample"})
+            ),
+            interpret=True,
+        )(x)
+        return out[None]
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(), out_specs=P("tile"), check_vma=True
+    )
+    with pytest.raises(Exception, match="varying manual axes|vma"):
+        fn().block_until_ready()

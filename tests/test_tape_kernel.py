@@ -112,7 +112,9 @@ def test_generalized_merge_network_fuzz():
     from csgrenderer_tpu.kernels.tape_kernel import _merge_sorted_planes
 
     rng = np.random.default_rng(11)
-    for la, lb in itertools.product(range(0, 7), range(0, 7)):
+    # k=4 tapes produce 7/8-length event merges in _combine; cover
+    # through length 8 on both operands (advisor round-2 finding)
+    for la, lb in itertools.product(range(0, 9), range(0, 9)):
         for _ in range(20):
             a = np.sort(rng.integers(0, 15, la)).astype(np.float32)
             b = np.sort(rng.integers(0, 15, lb)).astype(np.float32)
