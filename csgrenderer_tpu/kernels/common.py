@@ -364,7 +364,7 @@ def classic_wavefront(
 
 def nee_sample_planes(
     light_scal, n_lights, p, n, alb,
-    pix_u, cur_s, b_plane, seed,
+    pix_u, cur_s, b_plane, seed, pdf_b_fn=None,
 ):
     """NEE lamp sampling on planes (occlusion deferred to the caller):
     pick a lamp, cone-sample a direction toward it, compute the analytic
@@ -379,6 +379,12 @@ def nee_sample_planes(
     -1 rows if the caller has no id space) — lets a worklist-based
     occlusion test exclude the lamp's own surface hit exactly instead of
     by distance tolerance.
+
+    ``pdf_b_fn(ld(3 planes), cos) -> pdf plane``: the vertex BSDF's
+    solid-angle pdf at the light direction (the MIS pairing); default is
+    the cosine lobe max(cos, 0)/pi. Glossy vertices pass the metal-lobe
+    pdf (scatter_pdf_metal_planes) — the kernel twin of
+    render/lights.nee_contribution's pdf_b_fn.
     """
     px, py, pz = p
     nx, ny, nz = n
@@ -445,11 +451,15 @@ def nee_sample_planes(
     tl = jnp.where(tl > eps, tl, BIG)
 
     cos = dot3(nx, ny, nz, ldx, ldy, ldz)
-    ok = (cos > 0.0) & (inv_pdf > 0.0) & (tl < BIG_CUT)
-    # balance-heuristic MIS vs the cosine BSDF strategy folds to
-    # cli / (pi + cli), cli = cos * L * ip (render/lights.nee_contribution)
-    cli = cos * np.float32(n_lights) * inv_pdf
-    scale = jnp.where(ok, cli / (jnp.float32(np.pi) + cli), 0.0)
+    if pdf_b_fn is None:
+        pdf_b = jnp.maximum(cos, 0.0) * np.float32(1.0 / np.pi)
+    else:
+        pdf_b = pdf_b_fn((ldx, ldy, ldz), cos)
+    ok = (pdf_b > 0.0) & (inv_pdf > 0.0) & (tl < BIG_CUT)
+    # balance-heuristic MIS vs the vertex's BSDF strategy folds to
+    # q / (1 + q), q = pdf_b * L * ip (render/lights.nee_contribution)
+    q = pdf_b * np.float32(n_lights) * inv_pdf
+    scale = jnp.where(ok, q / (1.0 + q), 0.0)
     return (
         (ldx, ldy, ldz), tl,
         (ar * er * scale, ag * eg * scale, ab * eb * scale), lamp_id, ok,
@@ -468,6 +478,39 @@ def scatter_pdf_lam_planes(n, d_new):
         jnp.maximum(dot3(nx, ny, nz, dx, dy, dz) * inv_len, 0.0)
         * np.float32(1.0 / np.pi)
     )
+
+
+def scatter_pdf_metal_planes(d_in, n, fuzz, d_new):
+    """Plane twin of render/lights.scatter_pdf_metal: solid-angle pdf of
+    the RTIOW fuzzy-metal lobe (endpoint uniform on the radius-fuzz
+    sphere about the unit mirror direction); 0 for mirror metal
+    (fuzz ~ 0) and outside the lobe's cone."""
+    dix, diy, diz = d_in
+    nx, ny, nz = n
+    dx, dy, dz = d_new
+    inv_len = jax.lax.rsqrt(
+        jnp.maximum(dot3(dix, diy, diz, dix, diy, diz), jnp.float32(1e-20))
+    )
+    ux, uy, uz = dix * inv_len, diy * inv_len, diz * inv_len
+    udn = dot3(ux, uy, uz, nx, ny, nz)
+    rx = ux - 2.0 * udn * nx
+    ry = uy - 2.0 * udn * ny
+    rz = uz - 2.0 * udn * nz
+    winv = jax.lax.rsqrt(
+        jnp.maximum(dot3(dx, dy, dz, dx, dy, dz), jnp.float32(1e-20))
+    )
+    c = dot3(dx, dy, dz, rx, ry, rz) * winv
+    f_ok = fuzz > jnp.float32(1e-4)
+    f = jnp.maximum(fuzz, jnp.float32(1e-4))
+    g2 = c * c - 1.0 + f * f
+    g = jnp.sqrt(jnp.maximum(g2, jnp.float32(1e-20)))
+    tp = c + g
+    tm = c - g
+    num = jnp.where(tp > 0.0, tp * tp, 0.0) + jnp.where(
+        tm > 0.0, tm * tm, 0.0
+    )
+    pdf = num / (jnp.float32(4.0 * np.pi) * f * g)
+    return jnp.where(f_ok & (g2 > 0.0), pdf, 0.0)
 
 
 def bsdf_mis_scale_planes(n_lights, c, inv_r, o, pdf_b):
@@ -539,7 +582,7 @@ def bsdf_mis_scale_table_planes(light_scal, n_lights, p_hit, o, pdf_b):
 
 def nee_planes(
     light_scal, n_lights, p, n, alb, occlusion_t,
-    pix_u, cur_s, b_plane, seed,
+    pix_u, cur_s, b_plane, seed, pdf_b_fn=None,
 ):
     """Next-event estimation on planes — the kernel twin of
     render/lights.nee_contribution (same math, same RNG counters, so the
@@ -548,10 +591,12 @@ def nee_planes(
     ``occlusion_t(p, dir) -> t planes``: the scene's nearest-hit distance
     along a unit direction (shadow test only — no attributes). Returns
     (dr, dg, db) direct-light radiance planes (multiply by path
-    throughput under the caller's lambertian mask).
+    throughput under the caller's lambertian/glossy mask).
+    ``pdf_b_fn``: see nee_sample_planes (glossy MIS pairing).
     """
     ld, tl, (wr, wg, wb), _, _ = nee_sample_planes(
-        light_scal, n_lights, p, n, alb, pix_u, cur_s, b_plane, seed
+        light_scal, n_lights, p, n, alb, pix_u, cur_s, b_plane, seed,
+        pdf_b_fn=pdf_b_fn,
     )
     t_occ = occlusion_t(p, ld)
     vis = ~(t_occ < tl * np.float32(1.0 - 1e-4))
@@ -613,8 +658,9 @@ def grid_wavefront(
     pix_u)`` generates primary rays for explicit pixel planes. Outputs are
     in strided-slot layout (the caller un-strides, see megakernel).
 
-    ``nee_sample(p, n, alb, pix_u, cur_s, b_plane) -> (ld(3), tl, w(3),
-    lamp_id, ok)``: enables next-event estimation as SHADOW SEGMENTS woven
+    ``nee_sample(p, n, alb, d_in, kind, param, pix_u, cur_s, b_plane) ->
+    (ld(3), tl, w(3), lamp_id, ok)``: enables next-event estimation as
+    SHADOW SEGMENTS woven
     into the wavefront — after a lambertian path vertex, the lane's next
     segment walks the shadow ray toward the sampled lamp through the SAME
     DDA machinery (bounded by ``tl`` via ``walk_t_out_index``, the
@@ -761,10 +807,10 @@ def grid_wavefront(
 
         emit_scale = None
         if nee_sample is not None:
-            # NEE at lambertian path vertices: sample a lamp now (same RNG
-            # counters as the brute path), walk the shadow ray as the
-            # lane's NEXT segment. Emission of lamps reached BY a
-            # lambertian scatter carries the MIS partner weight (b == 0
+            # NEE at lambertian/glossy path vertices: sample a lamp now
+            # (same RNG counters as the brute path), walk the shadow ray
+            # as the lane's NEXT segment. Emission of lamps reached BY a
+            # pairable scatter carries the MIS partner weight (b == 0
             # camera rays pass emission through unweighted).
             w_b = nee_mis_scale(
                 attrs, (ox, oy, oz), st["prevpdf"]
@@ -776,11 +822,13 @@ def grid_wavefront(
             hpx = ox + t_safe * dx
             hpy = oy + t_safe * dy
             hpz = oz + t_safe * dz
+            d_in = (dx, dy, dz)  # incoming direction at the vertex
             ld, tl, w3, lamp, nee_ok = nee_sample(
-                (hpx, hpy, hpz), n, alb, pix_cur, cur_s,
+                (hpx, hpy, hpz), n, alb, d_in, kind, param, pix_cur, cur_s,
                 b_ctr.astype(jnp.uint32),
             )
-            nee_mask = path_fin & hit & (kind == 1.0)
+            glossy = (kind == 2.0) & (param > jnp.float32(1e-4))
+            nee_mask = path_fin & hit & ((kind == 1.0) | glossy)
             # weight carries the path throughput AT the vertex
             w_pend = tuple(
                 jnp.where(nee_mask, t_ * w_, 0.0)
@@ -813,10 +861,14 @@ def grid_wavefront(
             # regenerates and finishes its first segment in the same
             # iteration keeps the freshly computed pdf.
             pdf_lam = scatter_pdf_lam_planes(n, (dx, dy, dz))
+            pdf_met = scatter_pdf_metal_planes(d_in, n, param, (dx, dy, dz))
             prevpdf = jnp.where(regen, 0.0, st["prevpdf"])
             prevpdf = jnp.where(
                 path_fin,
-                jnp.where(cont & (kind == 1.0), pdf_lam, 0.0),
+                jnp.where(
+                    cont & (kind == 1.0), pdf_lam,
+                    jnp.where(cont & glossy, pdf_met, 0.0),
+                ),
                 prevpdf,
             )
 

@@ -69,6 +69,7 @@ from .common import (
     grid_wavefront,
     nee_planes,
     scatter_pdf_lam_planes,
+    scatter_pdf_metal_planes,
     shade_and_advance,
 )
 from .worklist import grid_setup, grid_step, pack_grid
@@ -380,9 +381,9 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
 
             emit_scale = None
             if n_lights:
-                # MIS NEE: direct light at lambertian hits; lamp emission
-                # reached BY a lambertian scatter carries the balance-
-                # heuristic partner weight (the scatter's cosine pdf rides
+                # MIS NEE: direct light at lambertian/glossy hits; lamp
+                # emission reached BY a pairable scatter carries the
+                # balance-heuristic partner weight (the scatter's pdf rides
                 # in ``extra``; b == 0 = fresh camera ray, whose stale
                 # value must pass emission through unweighted)
                 w_b = bsdf_mis_scale_planes(
@@ -399,17 +400,31 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
                     [lights_ref[i, j] for j in range(8)]
                     for i in range(n_lights)
                 ]
+                is_lam = kind == 1.0
+                glossy = (kind == 2.0) & (param > jnp.float32(1e-4))
+
+                def pdf_b_fn(ld, cos):
+                    pdf_lam = jnp.maximum(cos, 0.0) * np.float32(1.0 / np.pi)
+                    pdf_met = scatter_pdf_metal_planes(
+                        (dx, dy, dz), n, param, ld
+                    )
+                    pdf_met = jnp.where(cos > 0.0, pdf_met, 0.0)
+                    return jnp.where(
+                        is_lam, pdf_lam, jnp.where(glossy, pdf_met, 0.0)
+                    )
+
                 dr, dg, db = nee_planes(
                     light_scal, n_lights, (hpx, hpy, hpz), n,
                     (ar, ag, ab), occlusion_t,
                     pix_u if pu is None else pu, s, b, seed,
+                    pdf_b_fn=pdf_b_fn,
                 )
-                is_lam = kind == 1.0
-                nee_mask = active & hit & is_lam
+                nee_mask = active & hit & (is_lam | glossy)
                 rr = rr + jnp.where(nee_mask, tr * dr, 0.0)
                 rg = rg + jnp.where(nee_mask, tg * dg, 0.0)
                 rb = rb + jnp.where(nee_mask, tb * db, 0.0)
 
+            d_in = (dx, dy, dz)  # incoming direction (pre-scatter)
             (o2, d2, thr2, rad2, term) = shade_and_advance(
                 active, t_pl, hit, n, front, kind, param, (ar, ag, ab),
                 (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), (rr, rg, rb),
@@ -422,10 +437,18 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
             rays = rays + active_i
             cont = active & hit & ~term
             if n_lights:
-                # carried cosine pdf of the scatter (the MIS pairing)
+                # carried scatter pdf (the MIS pairing): cosine lobe for
+                # lambertian, the metal lobe for glossy scatters
                 extra = jnp.where(
                     cont & is_lam,
-                    scatter_pdf_lam_planes(n, (dx, dy, dz)), 0.0,
+                    scatter_pdf_lam_planes(n, (dx, dy, dz)),
+                    jnp.where(
+                        cont & glossy,
+                        scatter_pdf_metal_planes(
+                            d_in, n, param, (dx, dy, dz)
+                        ),
+                        0.0,
+                    ),
                 )
             active_i = cont.astype(jnp.int32)
             return (
@@ -512,14 +535,33 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
             if n_lights:
                 from .common import nee_sample_planes
 
-                def nee_sample(p, nrm, alb_, pix_u_cur, cur_s, b_plane):
+                def nee_sample(p, nrm, alb_, d_in, kind_, param_,
+                               pix_u_cur, cur_s, b_plane):
                     light_scal = [
                         [lights_ref[i, j] for j in range(8)]
                         for i in range(n_lights)
                     ]
+
+                    def pdf_b_fn(ld, cos):
+                        pdf_lam = (
+                            jnp.maximum(cos, 0.0) * np.float32(1.0 / np.pi)
+                        )
+                        pdf_met = scatter_pdf_metal_planes(
+                            d_in, nrm, param_, ld
+                        )
+                        pdf_met = jnp.where(cos > 0.0, pdf_met, 0.0)
+                        glossy_ = (kind_ == 2.0) & (
+                            param_ > jnp.float32(1e-4)
+                        )
+                        return jnp.where(
+                            kind_ == 1.0, pdf_lam,
+                            jnp.where(glossy_, pdf_met, 0.0),
+                        )
+
                     return nee_sample_planes(
                         light_scal, n_lights, p, nrm, alb_,
                         pix_u_cur, cur_s, b_plane, seed,
+                        pdf_b_fn=pdf_b_fn,
                     )
 
                 def nee_mis_scale(attrs_, o_, pdf_b):

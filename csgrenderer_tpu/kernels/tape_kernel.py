@@ -60,6 +60,7 @@ from .common import (
     nee_planes,
     pcg4d_planes,
     scatter_pdf_lam_planes,
+    scatter_pdf_metal_planes,
     shade_and_advance,
 )
 
@@ -602,12 +603,22 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix,
                     (kind == 4.0) & (prevpdf > 0.0) & (b > jnp.uint32(0)),
                     w_b, 1.0,
                 )
+                is_lam = kind == 1.0
+                glossy = (kind == 2.0) & (param > jnp.float32(1e-4))
+
+                def pdf_b_fn(ld, cos, d=d, n=n, param=param):
+                    pdf_lam = jnp.maximum(cos, 0.0) * np.float32(1.0 / np.pi)
+                    pdf_met = scatter_pdf_metal_planes(d, n, param, ld)
+                    pdf_met = jnp.where(cos > 0.0, pdf_met, 0.0)
+                    return jnp.where(
+                        is_lam, pdf_lam, jnp.where(glossy, pdf_met, 0.0)
+                    )
+
                 dr, dg, db = nee_planes(
                     light_scal, n_lights, (hpx, hpy, hpz), n, alb,
-                    occlusion_t, pu_cur, s, b, seed,
+                    occlusion_t, pu_cur, s, b, seed, pdf_b_fn=pdf_b_fn,
                 )
-                is_lam = kind == 1.0
-                nee_mask = active & hit & is_lam
+                nee_mask = active & hit & (is_lam | glossy)
                 rr, rg, rb = rad
                 rr = rr + jnp.where(nee_mask, thr[0] * dr, 0.0)
                 rg = rg + jnp.where(nee_mask, thr[1] * dg, 0.0)
@@ -615,6 +626,7 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix,
                 rad = (rr, rg, rb)
             # ``entering`` is the solid-level front-face flag — correct on
             # subtracted surfaces where a dot-product test is not
+            d_in = d  # incoming direction (pre-scatter), for the MIS pdf
             (o, d, thr, rad, term) = shade_and_advance(
                 active, t, hit, n, entering, kind, param, alb,
                 o, d, thr, rad, pu_cur, s, b, seed, sky,
@@ -625,10 +637,16 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix,
                 over = over + jnp.where(active, dropped, 0)
             cont = active & hit & ~term
             if n_lights:
-                # carried cosine pdf of the scatter (the MIS pairing)
+                # carried scatter pdf (the MIS pairing): cosine lobe for
+                # lambertian, the metal lobe for glossy scatters
                 prevpdf = jnp.where(
                     cont & is_lam,
-                    scatter_pdf_lam_planes(n, d), 0.0,
+                    scatter_pdf_lam_planes(n, d),
+                    jnp.where(
+                        cont & glossy,
+                        scatter_pdf_metal_planes(d_in, n, param, d),
+                        0.0,
+                    ),
                 )
             active_i = cont.astype(jnp.int32)
             return o, d, thr, rad, active_i, rays, (over, prevpdf)

@@ -216,8 +216,12 @@ def trace_paths(
         )
 
         is_lam = h.mat_kind == 1
+        # glossy = fuzzy metal: its lobe has a real pdf to pair with
+        # (scatter_pdf_metal); mirror metal (fuzz ~ 0) is a delta — NEE
+        # cannot sample it, BSDF-found emission stays unweighted
+        is_glossy = (h.mat_kind == 2) & (h.mat_param > 1e-4)
         if lights is not None:
-            from .lights import nee_contribution
+            from .lights import nee_contribution, scatter_pdf_metal
 
             ul = uniform4(
                 pixel_id,
@@ -225,10 +229,22 @@ def trace_paths(
                 jnp.uint32(b) | jnp.uint32(0x80000000),  # decouple from scatter
                 jnp.uint32(seed & 0xFFFFFFFF),
             )
+
+            def pdf_b_fn(d_l, cos, s=s, h=h):
+                pdf_lam = jnp.maximum(cos, 0.0) * jnp.float32(1.0 / np.pi)
+                pdf_met = scatter_pdf_metal(s["d"], h.normal, h.mat_param, d_l)
+                # below-horizon light directions carry zero BRDF (the
+                # procedural metal absorbs them) — gate the contribution
+                pdf_met = jnp.where(cos > 0.0, pdf_met, 0.0)
+                return jnp.where(
+                    is_lam, pdf_lam, jnp.where(is_glossy, pdf_met, 0.0)
+                )
+
             direct = nee_contribution(
-                hit_fn, p_hit, h.normal, h.albedo, lights, ul
+                hit_fn, p_hit, h.normal, h.albedo, lights, ul,
+                pdf_b_fn=pdf_b_fn,
             )
-            nee_mask = hit_active & is_lam
+            nee_mask = hit_active & (is_lam | is_glossy)
             radiance = radiance + jnp.where(
                 nee_mask[..., None], s["throughput"] * direct, 0.0
             )
@@ -245,10 +261,16 @@ def trace_paths(
         if lights is None:
             prev_pdf_b = s["prev_pdf_b"]
         else:
-            from .lights import scatter_pdf_lambertian
+            from .lights import scatter_pdf_lambertian, scatter_pdf_metal
 
             pdf_b = scatter_pdf_lambertian(h.normal, sc.direction)
-            prev_pdf_b = jnp.where(still_active & is_lam, pdf_b, 0.0)
+            pdf_m = scatter_pdf_metal(
+                s["d"], h.normal, h.mat_param, sc.direction
+            )
+            prev_pdf_b = jnp.where(
+                still_active & is_lam, pdf_b,
+                jnp.where(still_active & is_glossy, pdf_m, 0.0),
+            )
         return dict(
             o=new_o,
             d=new_d,

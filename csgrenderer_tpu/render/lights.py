@@ -152,23 +152,29 @@ def sphere_ray_t(p: Array, d: Array, c: Array, r, eps: float = 1e-3) -> Array:
     return jnp.where(t > eps, t, jnp.float32(1e30))
 
 
-def nee_contribution(hit_fn, p, n, albedo, lights: SphereLights, u):
-    """MIS-weighted direct-light estimate at a lambertian hit point.
+def nee_contribution(
+    hit_fn, p, n, albedo, lights: SphereLights, u, pdf_b_fn=None
+):
+    """MIS-weighted direct-light estimate at a scattering hit point.
 
     ``u``: [..., 3] uniforms (light pick, cone u1, cone u2). Returns
     [..., 3] radiance (already BRDF-, pdf- and MIS-weighted; multiply by
-    path throughput and the lambertian mask).
+    path throughput and the caller's material mask).
 
-    Balance-heuristic MIS against the cosine BSDF strategy: the light
+    Balance-heuristic MIS against the vertex's BSDF strategy: the light
     strategy's solid-angle density is pdf_L = 1 / (L * ip) with
-    ip = 2 pi (1 - cos_theta_max); the BSDF's is cos / pi. The weighted
+    ip = 2 pi (1 - cos_theta_max); the BSDF's is ``pdf_b_fn(d, cos)``
+    (default: the cosine lobe cos / pi). For the procedural RTIOW
+    materials the BRDF value IS albedo * pdf_b, so the weighted
     contribution folds to the closed form
-        albedo * L_e * cos * L * ip / (pi + cos * L * ip)
+        albedo * L_e * q / (1 + q),   q = pdf_b * L * ip
     (= the pure-NEE scale times pdf_L / (pdf_L + pdf_B)). The partner
     weight is applied to BSDF-found lamp emission via bsdf_mis_scale —
     together they sum to 1 for every lamp surface point, replacing the
     round-2 suppress-emission scheme (which zeroed the BSDF side, i.e.
     w_L = 1, and was biased for vertices inside a lamp's sphere).
+    ``pdf_b_fn`` lets glossy (fuzzy-metal) vertices pair with their own
+    lobe (scatter_pdf_metal) — the round-3 firefly fix.
     """
     nl = lights.num_lights
     li = jnp.minimum((u[..., 0] * nl).astype(jnp.int32), nl - 1)
@@ -180,12 +186,16 @@ def nee_contribution(hit_fn, p, n, albedo, lights: SphereLights, u):
 
     d, inv_pdf = sample_sphere_cone(p, c, r, u[..., 1], u[..., 2])
     cos = vec.dot(n, d)
+    if pdf_b_fn is None:
+        pdf_b = jnp.maximum(cos, 0.0) * jnp.float32(1.0 / np.pi)
+    else:
+        pdf_b = pdf_b_fn(d, cos)
     t_light = sphere_ray_t(p, d, c, r)
     sh = hit_fn(p, d)
     occluded = sh.hit & (sh.t < t_light * (1.0 - 1e-4))
-    ok = (cos > 0.0) & (inv_pdf > 0.0) & (t_light < 1e29) & ~occluded
-    cli = cos * jnp.float32(nl) * inv_pdf
-    scale = jnp.where(ok, cli / (jnp.float32(np.pi) + cli), 0.0)
+    ok = (pdf_b > 0.0) & (inv_pdf > 0.0) & (t_light < 1e29) & ~occluded
+    q = pdf_b * jnp.float32(nl) * inv_pdf
+    scale = jnp.where(ok, q / (1.0 + q), 0.0)
     return albedo * e * scale[..., None]
 
 
@@ -195,6 +205,38 @@ def scatter_pdf_lambertian(n, d_new):
     "previous-vertex BSDF pdf" of the MIS pairing."""
     ud = vec.normalized(d_new, eps=1e-20)
     return jnp.maximum(vec.dot(n, ud), 0.0) * jnp.float32(1.0 / np.pi)
+
+
+def scatter_pdf_metal(d_in, n, fuzz, d_new):
+    """Solid-angle pdf of the RTIOW fuzzy-metal scatter.
+
+    The material scatters d_new = reflect(unit(d_in), n) + fuzz * u with u
+    uniform on the unit sphere, i.e. the ray endpoint is uniform on the
+    radius-``fuzz`` sphere around the unit mirror direction r. For a unit
+    query direction w with c = w . r, the sphere intersections at
+    t± = c ± g, g = sqrt(c^2 - 1 + f^2) project to w with density
+        pdf(w) = (t+^2 [t+ > 0] + t-^2 [t- > 0]) / (4 pi f g)
+    (0 outside the cone, g^2 <= 0). For f < 1 both roots are positive in
+    the cone and this folds to (2 c^2 - (1 - f^2)) / (2 pi f g). Checks:
+    f -> 1 gives the cosine lobe c/pi around r (the lambertian trick on
+    the mirror axis); f -> 0 is a delta (returned as 0 — mirror chains
+    keep full emission, w_B -> 1 via the carried-pdf convention
+    pdf_b == 0 means "not pairable").
+    """
+    ud = vec.normalized(d_in, eps=1e-20)
+    r = ud - 2.0 * vec.dot(ud, n)[..., None] * n  # unit: |ud|=|n|=1
+    w = vec.normalized(d_new, eps=1e-20)
+    c = vec.dot(w, r)
+    f = jnp.asarray(fuzz, jnp.float32)
+    f_ok = f > jnp.float32(1e-4)
+    f_safe = jnp.maximum(f, jnp.float32(1e-4))
+    g2 = c * c - 1.0 + f_safe * f_safe
+    g = jnp.sqrt(jnp.maximum(g2, jnp.float32(1e-20)))
+    tp = c + g
+    tm = c - g
+    num = jnp.where(tp > 0.0, tp * tp, 0.0) + jnp.where(tm > 0.0, tm * tm, 0.0)
+    pdf = num / (jnp.float32(4.0 * np.pi) * f_safe * g)
+    return jnp.where(f_ok & (g2 > 0.0), pdf, 0.0)
 
 
 def bsdf_mis_scale(lights: SphereLights, o_prev, p_hit, prev_pdf_b):
