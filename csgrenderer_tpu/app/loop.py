@@ -115,10 +115,16 @@ class App:
             idx, image, rays = entry
             import numpy as np
 
+            fence_frame = idx % max(fence_stride, 1) == 0
             if readback == "full":
                 out = np.asarray(image)  # blocks until the frame is ready
-            else:  # "fence": 1-element sync every fence_stride frames
-                if idx % max(fence_stride, 1) == 0:
+            else:  # "fence": ONE scalar sync every fence_stride frames —
+                # the rays counter is a dependent output of the same frame,
+                # so reading it IS the fence (reading image[0,0] too would
+                # pay a second ~34 ms tunnel round-trip)
+                if fence_frame and not isinstance(rays, int):
+                    pass  # synced via int(rays) below
+                elif fence_frame:
                     np.asarray(image[0, 0])
                 out = image  # device array: sink samples/keeps references
             if self.frame_sink is not None:
@@ -127,7 +133,7 @@ class App:
             # round-trip: only force it when we already synced
             if isinstance(rays, int):
                 n_rays = rays
-            elif readback == "full" or idx % max(fence_stride, 1) == 0:
+            elif readback == "full" or fence_frame:
                 n_rays = int(rays)
             else:
                 n_rays = 0

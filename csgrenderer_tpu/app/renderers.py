@@ -79,6 +79,10 @@ class PathTraceRenderer:
     per frame (e.g. CompiledTape.with_edges for config 5).
     ``progressive``: accumulate samples across frames instead of restarting
     (each frame adds ``config.spp`` samples); ``reset_accumulation()`` clears.
+    ``advance_samples``: advance the RNG sample offset by ``spp`` each
+    frame WITHOUT host-side accumulation — every frame is an independent
+    fresh-noise render (the realtime path-tracing mode, demo6 --scene
+    rtiow/night: async-safe, unlike ``progressive``).
     """
 
     def __init__(
@@ -91,6 +95,7 @@ class PathTraceRenderer:
         sample_offset: int = 0,
         backend: str = "auto",
         interpret: bool = False,
+        advance_samples: bool = False,
     ):
         """``backend``: "auto" (Pallas kernels on accelerators, jnp on CPU),
         "pallas", or "jnp". ``interpret`` runs Pallas kernels in the
@@ -99,6 +104,9 @@ class PathTraceRenderer:
         self.camera = camera
         self.config = config
         self.progressive = progressive
+        self.advance_samples = advance_samples
+        if progressive and advance_samples:
+            raise ValueError("progressive already advances sample offsets")
         self.accumulator = Accumulator.zeros(config.height, config.width)
         self.last_frame_rays = 0
         self._sample_offset = sample_offset
@@ -189,6 +197,8 @@ class PathTraceRenderer:
             )
             self._sample_offset += self.config.spp
             return self._tonemap(self.accumulator.image())
+        if self.advance_samples:
+            self._sample_offset += self.config.spp
         return self._tonemap(radiance)
 
     def draw_frame_async(self, time_sec: float):
@@ -207,6 +217,8 @@ class PathTraceRenderer:
         radiance, rays = self._frame(
             self.scene, jnp.float32(time_sec), jnp.int32(self._sample_offset)
         )
+        if self.advance_samples:
+            self._sample_offset += self.config.spp
         return self._tonemap(radiance), rays
 
 

@@ -27,6 +27,37 @@ CAM_SIZE = 24
 META_SIZE = 8
 
 
+def device_cache(cache: dict, key, keyhold, build):
+    """Memoize DEVICE-RESIDENT packed inputs keyed on host-array identity.
+
+    The packers (pack_scene, grid tables, camera rows, light tables) are
+    cheap host work, but uploading their products costs a host->device
+    transfer per kernel call — ~ms each under the axon tunnel, which
+    capped the realtime path-tracing loop at ~15 fps (demo6). Static
+    scenes re-upload identical bytes every frame; this cache keys on
+    ``id()`` of a representative source array (``keyhold`` pins it
+    against id reuse) so animated scenes (fresh arrays per frame) miss
+    naturally. Inside a jit/shard_map trace the cache is BYPASSED both
+    ways (no read, no write): jnp.asarray returns tracers there, and a
+    cached tracer would leak out of its trace.
+    """
+    try:
+        from jax._src.core import trace_state_clean
+        clean = trace_state_clean()
+    except Exception:  # API moved: fall back to always-rebuild
+        clean = False
+    if not clean:
+        return build()
+    ent = cache.get(key)
+    if ent is not None and ent[0] is keyhold:
+        return ent[1]
+    val = build()
+    if len(cache) > 32:
+        cache.clear()
+    cache[key] = (keyhold, val)
+    return val
+
+
 def pcg4d_planes(a, b, c, d):
     """PCG4D hash on uint32 planes -> four f32 uniforms in [0,1)."""
     mul = jnp.uint32(1664525)

@@ -65,6 +65,7 @@ from .common import (
     bsdf_mis_scale_planes,
     camera_ray_planes,
     classic_wavefront,
+    device_cache,
     dot3 as _dot3,
     grid_wavefront,
     nee_planes,
@@ -73,6 +74,12 @@ from .common import (
     shade_and_advance,
 )
 from .worklist import grid_setup, grid_step, pack_grid
+
+# device-resident packed-input caches (see common.device_cache): static
+# scenes/cameras skip the per-call host->device uploads that capped the
+# realtime loop
+_SCENE_PREP_CACHE: dict = {}
+_CAM_CACHE: dict = {}
 
 
 def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
@@ -815,8 +822,6 @@ def render_image_pallas(
     """
     if not jitter:
         raise NotImplementedError("megakernel always jitters (spp>=1)")
-    lights_tab = None
-    n_lights = 0
     if nee and not (np.asarray(scene.mat_kind) == 4).any():
         raise ValueError("nee=True but the scene has no emissive spheres")
     if worklist == "auto" and scene.num_spheres < 256:
@@ -826,43 +831,66 @@ def render_image_pallas(
         # 161 with NEE; RTIOW/night at ~490: grid wins decisively (520 vs
         # ~90 plain, 96 vs 65 NEE). Force worklist=True to override.
         worklist = False
-    grid_static = None
-    grid_table = None
-    n_glob = 0
-    if worklist in (True, "auto"):
-        packed_grid = pack_grid(scene)
-        if packed_grid is not None:
-            import ml_dtypes
 
-            pack, scene = packed_grid  # scene reordered: globals first
-            n_glob = pack.n_globals
-            grid_static = pack.static
-            # bf16 storage is lossless here (every value bf16-exact) and
-            # makes the in-kernel gather a native single-pass MXU matmul
-            grid_table = pack.table.astype(ml_dtypes.bfloat16)
-            packed = pack_scene(scene, n_brute=pack.n_globals)
-        elif worklist is True:
-            raise ValueError("worklist=True but the scene is not griddable")
+    def _prepare(scene=scene):
+        lights_tab = None
+        n_lights = 0
+        grid_static = None
+        grid_table = None
+        n_glob = 0
+        if worklist in (True, "auto"):
+            packed_grid = pack_grid(scene)
+            if packed_grid is not None:
+                import ml_dtypes
+
+                pack, scene = packed_grid  # scene reordered: globals first
+                n_glob = pack.n_globals
+                grid_static = pack.static
+                # bf16 storage is lossless here (every value bf16-exact)
+                # and makes the in-kernel gather a native single-pass MXU
+                # matmul
+                grid_table = jnp.asarray(
+                    pack.table.astype(ml_dtypes.bfloat16)
+                )
+                packed = pack_scene(scene, n_brute=pack.n_globals)
+            elif worklist is True:
+                raise ValueError(
+                    "worklist=True but the scene is not griddable"
+                )
+            else:
+                packed = pack_scene(scene)
         else:
             packed = pack_scene(scene)
-    else:
-        packed = pack_scene(scene)
-    if nee:
-        # lights resolved AFTER any worklist reordering: the 8th column is
-        # the lamp's scene-sphere id in the kernel's id space, letting the
-        # grid path's shadow walk exclude the lamp's own surface hit
-        # exactly (render/lights.py owns the extraction + estimator)
-        from ..render.lights import extract_lights
+        if nee:
+            # lights resolved AFTER any worklist reordering: the 8th
+            # column is the lamp's scene-sphere id in the kernel's id
+            # space, letting the grid path's shadow walk exclude the
+            # lamp's own surface hit exactly (render/lights.py owns the
+            # extraction + estimator)
+            from ..render.lights import extract_lights
 
-        lights, ids = extract_lights(scene, return_ids=True)
-        n_lights = lights.num_lights
-        tab = np.zeros((n_lights, 8), np.float32)
-        tab[:, 0:3] = lights.centers
-        tab[:, 3] = lights.radii
-        tab[:, 4:7] = lights.emit
-        tab[:, 7] = ids.astype(np.float32)
-        lights_tab = jnp.asarray(tab)
-    cam_row = pack_camera(camera)
+            lights, ids = extract_lights(scene, return_ids=True)
+            n_lights = lights.num_lights
+            tab = np.zeros((n_lights, 8), np.float32)
+            tab[:, 0:3] = lights.centers
+            tab[:, 3] = lights.radii
+            tab[:, 4:7] = lights.emit
+            tab[:, 7] = ids.astype(np.float32)
+            lights_tab = jnp.asarray(tab)
+        return packed, grid_static, grid_table, n_glob, lights_tab, n_lights
+
+    (packed, grid_static, grid_table, n_glob, lights_tab, n_lights) = (
+        device_cache(
+            _SCENE_PREP_CACHE,
+            (id(scene.centers), str(worklist), nee),
+            scene.centers,
+            _prepare,
+        )
+    )
+    cam_row = device_cache(
+        _CAM_CACHE, id(camera.origin), camera.origin,
+        lambda: pack_camera(camera),
+    )
     if rotate == "auto":
         # rotation averages a lane's load over its column's 8 pixels; the
         # win needs multiple samples to amortize the scatter

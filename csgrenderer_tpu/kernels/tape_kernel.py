@@ -67,6 +67,8 @@ from .common import (
 T_FAR = np.float32(1e9)
 _CUT = np.float32(5e8)
 
+_TAPE_PREP_CACHE: dict = {}
+
 # leaf table layout (f32 [L, 16] in SMEM):
 #   0-3 leaf_rot (world->local quat wxyz), 4-6 leaf_pos, 7-10 params,
 #   11 kind, 12 mat_param, 13-15 albedo
@@ -756,7 +758,8 @@ def render_image_tape_pallas(
     """
     if not jitter:
         raise NotImplementedError("tape kernel always jitters")
-    from .megakernel import pack_camera
+    from .common import device_cache
+    from .megakernel import _CAM_CACHE, pack_camera
 
     nee_lamps = ()
     if nee:
@@ -769,8 +772,19 @@ def render_image_tape_pallas(
                 "nee=True but the tape has no emissive sphere leaves"
             )
         nee_lamps = tuple(int(i) for i in lamp_ids)
-    program, leaf_tab = _pack_program(tape)
-    cam_row = pack_camera(camera)
+    # leaf-table upload cached for static tapes; animated tapes
+    # (with_edges -> fresh leaf_rot/leaf_pos arrays) miss by id
+    program, leaf_tab = device_cache(
+        _TAPE_PREP_CACHE,
+        (id(tape.leaf_rot), id(tape.leaf_pos), id(tape.leaf_params),
+         id(tape.mat_kind)),
+        tape.leaf_rot,
+        lambda: _pack_program(tape),
+    )
+    cam_row = device_cache(
+        _CAM_CACHE, id(camera.origin), camera.origin,
+        lambda: pack_camera(camera),
+    )
     image, rays, over = _render_tape_packed(
         program, leaf_tab, cam_row, width, height, spp, max_bounces,
         jnp.asarray(seed, jnp.int32), jnp.asarray(sample_offset, jnp.int32),

@@ -55,6 +55,9 @@ from .tri_worklist import (
 )
 
 
+_MESH_PREP_CACHE: dict = {}
+
+
 class _PackedMesh(NamedTuple):
     cols: jax.Array  # [F_pad, 16] f32: v0(3), e1(3), e2(3)
     attr: jax.Array  # [16, F_pad] f32: n_hi(3), n_lo(3), kind, param, alb(3)
@@ -438,33 +441,48 @@ def render_image_mesh_pallas(
     """
     if not jitter:
         raise NotImplementedError("mesh kernel always jitters")
-    grid_static = None
-    grid_tables = None
-    n_globals = 0
-    if worklist in (True, "auto"):
-        import ml_dtypes
 
-        res = pack_tri_grid(mesh)
-        if res is not None:
-            pack, glob_mesh, glob_mat = res
-            grid_static = pack.static
-            grid_tables = (
-                jnp.asarray(pack.dense_map.astype(ml_dtypes.bfloat16)),
-                *(
-                    jnp.asarray(t.astype(ml_dtypes.bfloat16))
-                    for t in pack.tables
-                ),
-                jnp.asarray(pack.mats.astype(ml_dtypes.bfloat16)),
-            )
-            n_globals = int(pack.globals_idx.shape[0])
-            packed = jnp.asarray(pack_mesh_globals(glob_mesh, glob_mat))
-        elif worklist is True:
-            raise ValueError("worklist=True but the mesh is not griddable")
+    def _prepare():
+        grid_static = None
+        grid_tables = None
+        n_globals = 0
+        if worklist in (True, "auto"):
+            import ml_dtypes
+
+            res = pack_tri_grid(mesh)
+            if res is not None:
+                pack, glob_mesh, glob_mat = res
+                grid_static = pack.static
+                grid_tables = (
+                    jnp.asarray(pack.dense_map.astype(ml_dtypes.bfloat16)),
+                    *(
+                        jnp.asarray(t.astype(ml_dtypes.bfloat16))
+                        for t in pack.tables
+                    ),
+                    jnp.asarray(pack.mats.astype(ml_dtypes.bfloat16)),
+                )
+                n_globals = int(pack.globals_idx.shape[0])
+                packed = jnp.asarray(pack_mesh_globals(glob_mesh, glob_mat))
+            elif worklist is True:
+                raise ValueError(
+                    "worklist=True but the mesh is not griddable"
+                )
+            else:
+                packed = pack_mesh(mesh)
         else:
             packed = pack_mesh(mesh)
-    else:
-        packed = pack_mesh(mesh)
-    cam_row = pack_camera(camera)
+        return packed, grid_static, grid_tables, n_globals
+
+    from .common import device_cache
+    from .megakernel import _CAM_CACHE
+
+    packed, grid_static, grid_tables, n_globals = device_cache(
+        _MESH_PREP_CACHE, (id(mesh.v0), str(worklist)), mesh.v0, _prepare
+    )
+    cam_row = device_cache(
+        _CAM_CACHE, id(camera.origin), camera.origin,
+        lambda: pack_camera(camera),
+    )
     return _render_mesh_packed(
         packed, cam_row, width, height, spp, max_bounces,
         jnp.asarray(seed, jnp.int32), jnp.asarray(sample_offset, jnp.int32),

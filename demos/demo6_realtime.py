@@ -9,8 +9,15 @@ frames in flight, i.e. the pipelining the reference constructed sync
 objects for and then disabled with a per-frame vkQueueWaitIdle
 (renderer.c:51, 2212).
 
+``--scene`` grows it beyond the reference (round 3): "wololo" is the
+reference's exact scenario (1 sphere, normal shading); "rtiow" runs the
+full RTIOW final scene PATH-TRACED live (fused grid megakernel, fresh
+noise every frame via advancing sample offsets); "night" adds NEE+MIS
+on the emissive night scene. Realtime *path tracing*, not a raster demo.
+
 Run (TPU): python demos/demo6_realtime.py --seconds 5
-Expect: >= 30 fps sustained at 1280x720 with per-second stats lines.
+           python demos/demo6_realtime.py --scene rtiow --spp 2
+Expect: >= 30 fps sustained at 1280x720 (wololo), >= 24 fps path-traced.
 """
 
 from __future__ import annotations
@@ -46,6 +53,13 @@ def main(argv=None):
     ap.add_argument("--fence-stride", type=int, default=2)
     ap.add_argument("--min-fps", type=float, default=0.0,
                     help="exit nonzero if sustained fps falls below this")
+    ap.add_argument("--scene", default="wololo",
+                    choices=["wololo", "rtiow", "night"],
+                    help="wololo: reference scenario; rtiow/night: live "
+                    "path tracing (fresh noise per frame)")
+    ap.add_argument("--spp", type=int, default=2,
+                    help="samples/pixel/frame for the path-traced scenes")
+    ap.add_argument("--bounces", type=int, default=8)
     args = ap.parse_args(argv)
 
     ring = collections.deque(maxlen=32)  # the "swapchain": last 32 frames
@@ -53,9 +67,33 @@ def main(argv=None):
     def sink(idx, img):
         ring.append((idx, img))
 
-    renderer = WololoRenderer(
-        RenderConfig(width=args.width, height=args.height, spp=1, sky="wololo")
-    )
+    if args.scene == "wololo":
+        renderer = WololoRenderer(
+            RenderConfig(width=args.width, height=args.height, spp=1,
+                         sky="wololo")
+        )
+    else:
+        from csgrenderer_tpu.app.renderers import PathTraceRenderer
+        from csgrenderer_tpu.camera import Camera
+        from csgrenderer_tpu.models import night_scene, rtiow_final_scene
+
+        aspect = args.width / args.height
+        if args.scene == "rtiow":
+            scene = rtiow_final_scene()
+            cam = Camera.look_at((13, 2, 3), (0, 0, 0), vfov_degrees=20.0,
+                                 aspect_ratio=aspect, aperture=0.1,
+                                 focus_dist=10.0)
+            cfg = RenderConfig(width=args.width, height=args.height,
+                               spp=args.spp, max_bounces=args.bounces,
+                               seed=6, lens=True)
+        else:  # night: NEE + MIS, live
+            scene = night_scene()
+            cam = Camera.look_at((6.5, 2.2, 6.5), (0.0, 0.6, 0.0),
+                                 vfov_degrees=32.0, aspect_ratio=aspect)
+            cfg = RenderConfig(width=args.width, height=args.height,
+                               spp=args.spp, max_bounces=args.bounces,
+                               seed=6, sky="black", nee=True)
+        renderer = PathTraceRenderer(scene, cam, cfg, advance_samples=True)
     app = App(
         target_updates_per_sec=60.0,
         width=args.width,
@@ -77,7 +115,7 @@ def main(argv=None):
     fps = frames / wall if wall > 0 else 0.0
     print(
         f"[csgr] demo6: {frames} frames in {wall:.2f}s = {fps:.1f} fps "
-        f"sustained at {args.width}x{args.height} "
+        f"sustained at {args.width}x{args.height} scene={args.scene} "
         f"({args.frames_in_flight} frames in flight)"
     )
 

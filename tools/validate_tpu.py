@@ -180,6 +180,34 @@ def build_configs():
     cfgs.append(Config("config5_animated_csg", c5_kernel, c5_ref,
                        96, 96, 4096, 32768, 5, ref_chunk=2048))
 
+    # config 6 (round 3, beyond the reference): triangle meshes through the
+    # voxel-worklist kernel — demo7's scene (3 icospheres + floor, 962
+    # faces, grid path), same converged protocol as configs 2-5
+    from csgrenderer_tpu.kernels import render_image_mesh_pallas
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent
+                           / "demos"))
+    from demo7_mesh import build_scene as _mesh_scene
+
+    m6 = _mesh_scene(subdiv=2)
+    cam6 = Camera.look_at((0.0, 1.6, 2.2), (0.0, 0.7, -2.6),
+                          vfov_degrees=45.0, aspect_ratio=96 / 54)
+
+    def c6_kernel(seed, spp, off=0):
+        img, _ = render_image_mesh_pallas(
+            m6, cam6, 96, 54, spp=spp, max_bounces=6, seed=seed,
+            sample_offset=off)
+        return img
+
+    def c6_ref(seed, spp, off=0):
+        img, _ = render_image(
+            m6.nearest_hit, cam6, 96, 54, spp=spp, max_bounces=6,
+            seed=seed, sample_offset=off)
+        return img
+
+    cfgs.append(Config("config6_mesh", c6_kernel, c6_ref,
+                       96, 54, 2048, 32768, 6, ref_chunk=1024))
+
     return cfgs
 
 
