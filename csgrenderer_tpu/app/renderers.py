@@ -157,7 +157,10 @@ class PathTraceRenderer:
             if animate is not None:
                 scene = animate(scene, t)
             if backend == "pallas":
-                return _render_pallas(scene, camera, cfg, sample_base, interpret)
+                return _render_pallas(
+                    scene, camera, cfg, sample_base, interpret,
+                    animated=animate is not None,
+                )
             hit_fn = _hit_fn_for(scene, eps=1e-3)
             radiance, rays = integrator.render_image(
                 hit_fn,
@@ -232,7 +235,8 @@ def _hit_fn_for(scene, eps: float = 1e-3):
     raise TypeError(f"unsupported scene type {type(scene)}")
 
 
-def _render_pallas(scene, camera, cfg: RenderConfig, sample_base, interpret=False):
+def _render_pallas(scene, camera, cfg: RenderConfig, sample_base,
+                   interpret=False, animated=False):
     if isinstance(scene, SphereScene):
         from ..kernels import render_image_pallas
 
@@ -250,6 +254,10 @@ def _render_pallas(scene, camera, cfg: RenderConfig, sample_base, interpret=Fals
             max_bounces=cfg.max_bounces, seed=cfg.seed, sky=cfg.sky,
             lens=cfg.lens, sample_offset=sample_base, interpret=interpret,
             nee=cfg.nee,
+            # disjoint-cluster decomposition is static program structure:
+            # an ANIMATED tape would recompile whenever moving objects
+            # re-cluster — keep the global evaluation for animation
+            partition=False if animated else "auto",
         )
     if isinstance(scene, MeshScene):
         from ..kernels import render_image_mesh_pallas

@@ -68,6 +68,7 @@ T_FAR = np.float32(1e9)
 _CUT = np.float32(5e8)
 
 _TAPE_PREP_CACHE: dict = {}
+_PARTITION_CACHE: dict = {}
 
 # leaf table layout (f32 [L, 16] in SMEM):
 #   0-3 leaf_rot (world->local quat wxyz), 4-6 leaf_pos, 7-10 params,
@@ -306,7 +307,7 @@ def _pack_program(tape: CompiledTape):
 
 
 def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix,
-                 count_dropped=False, nee_lamps=()):
+                 count_dropped=False, nee_lamps=(), clusters=None):
     ops, leaf_types, k = program
     n_leaves = len(leaf_types)
     inv_w = np.float32(1.0 / width)
@@ -401,54 +402,74 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix,
             every event at the same t). Value-identical to the list path
             away from capacity overflow: the candidate event values are
             the very floats the merge network would have routed into the
-            lists. Returns (t, entering, dropped=0)."""
+            lists. Returns (t, entering, dropped=0).
+
+            ``clusters`` (round 3, scene/partition.py): when the root is
+            a union of spatially-disjoint operand groups, each group's
+            flips are evaluated against ITS OWN sub-ops and leaves only
+            and the results min-combine — O(sum L_c^2) flip work instead
+            of O(L^2), exact under disjoint bounds (a boundary of one
+            cluster cannot lie inside another)."""
             l_enter, l_exit = [], []
             for l in range(n_leaves):
                 e, x = _leaf_interval(leaf_types[l], leaf_scal[l], o, d)
                 l_enter.append(e)
                 l_exit.append(x)
 
-            def tree(mem):
-                # int32 0/1 algebra: Mosaic cannot lower i1 vector xor or
-                # != ("Unsupported target bitwidth for truncation"), so
-                # memberships travel as int32 and the flip test is sum==1
-                stack = []
-                for opcode, operand in ops:
-                    if opcode == OP_PUSH:
-                        stack.append(mem[operand])
-                    elif opcode == OP_UNION:
-                        right = stack.pop()
-                        stack.append(jnp.maximum(stack.pop(), right))
-                    elif opcode == OP_INTERSECT:
-                        right = stack.pop()
-                        stack.append(jnp.minimum(stack.pop(), right))
-                    else:  # OP_DIFF
-                        right = stack.pop()
-                        stack.append(jnp.minimum(stack.pop(), 1 - right))
-                return stack[0]
+            def events_for(sub_ops, sub_leaves, t, entering_i):
+                def tree(mem):
+                    # int32 0/1 algebra: Mosaic cannot lower i1 vector
+                    # xor or != ("Unsupported target bitwidth for
+                    # truncation"), so memberships travel as int32 and
+                    # the flip test is sum==1
+                    stack = []
+                    for opcode, operand in sub_ops:
+                        if opcode == OP_PUSH:
+                            stack.append(mem[operand])
+                        elif opcode == OP_UNION:
+                            right = stack.pop()
+                            stack.append(jnp.maximum(stack.pop(), right))
+                        elif opcode == OP_INTERSECT:
+                            right = stack.pop()
+                            stack.append(jnp.minimum(stack.pop(), right))
+                        else:  # OP_DIFF
+                            right = stack.pop()
+                            stack.append(jnp.minimum(stack.pop(), 1 - right))
+                    return stack[0]
+
+                for l in sub_leaves:
+                    for tj in (l_enter[l], l_exit[l]):
+                        below = {
+                            i: ((l_enter[i] < tj) & (l_exit[i] >= tj))
+                            .astype(jnp.int32)
+                            for i in sub_leaves
+                        }
+                        above = {
+                            i: ((l_enter[i] <= tj) & (l_exit[i] > tj))
+                            .astype(jnp.int32)
+                            for i in sub_leaves
+                        }
+                        ma = tree(above)
+                        flip = (
+                            (tree(below) + ma == 1)
+                            & (tj > eps) & (tj < _CUT)
+                        )
+                        cand = jnp.where(flip, tj, T_FAR)
+                        better = cand < t
+                        t = jnp.where(better, cand, t)
+                        entering_i = jnp.where(better, ma, entering_i)
+                return t, entering_i
 
             t = far_plane
             entering_i = (zero > 1.0).astype(jnp.int32)  # non-splat zeros
-            for l in range(n_leaves):
-                for tj in (l_enter[l], l_exit[l]):
-                    below = [
-                        ((l_enter[i] < tj) & (l_exit[i] >= tj))
-                        .astype(jnp.int32)
-                        for i in range(n_leaves)
-                    ]
-                    above = [
-                        ((l_enter[i] <= tj) & (l_exit[i] > tj))
-                        .astype(jnp.int32)
-                        for i in range(n_leaves)
-                    ]
-                    ma = tree(above)
-                    flip = (
-                        (tree(below) + ma == 1) & (tj > eps) & (tj < _CUT)
-                    )
-                    cand = jnp.where(flip, tj, T_FAR)
-                    better = cand < t
-                    t = jnp.where(better, cand, t)
-                    entering_i = jnp.where(better, ma, entering_i)
+            if clusters is None:
+                t, entering_i = events_for(
+                    ops, tuple(range(n_leaves)), t, entering_i
+                )
+            else:
+                for c_ops, c_leaves in clusters:
+                    t, entering_i = events_for(c_ops, c_leaves, t,
+                                               entering_i)
             zero_i32 = (zero > 1.0).astype(jnp.int32)
             return t, entering_i > 0, zero_i32
 
@@ -678,14 +699,14 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix,
     jax.jit,
     static_argnames=(
         "program", "width", "height", "spp", "max_bounces", "lens", "sky",
-        "count_dropped", "nee_lamps",
+        "count_dropped", "nee_lamps", "clusters",
         "interpret", "rows",
     ),
 )
 def _render_tape_packed(
     program, leaf_tab, cam_row, width, height, spp, max_bounces,
     seed, sample_offset, lens, sky, interpret, rows, row_offset,
-    count_dropped, nee_lamps=(),
+    count_dropped, nee_lamps=(), clusters=None,
 ):
     n_pix = width * rows  # this slab's pixel count (rows == height unsharded)
     n_tiles = pl.cdiv(n_pix, TILE)
@@ -697,6 +718,7 @@ def _render_tape_packed(
     kernel = _make_kernel(
         program, width, height, spp, max_bounces, lens, sky, n_pix,
         count_dropped=count_dropped, nee_lamps=nee_lamps,
+        clusters=clusters,
     )
     plane = jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, TILE_LANES), jnp.float32)
     plane_spec = pl.BlockSpec(
@@ -741,6 +763,7 @@ def render_image_tape_pallas(
     row_offset=0,
     with_overflow: bool = False,
     nee: bool = False,
+    partition: bool | str = "auto",
 ):
     """Drop-in for ``integrator.render_image`` on a CompiledTape scene.
 
@@ -755,6 +778,12 @@ def render_image_tape_pallas(
     test is one extra event-flip evaluation per lambertian vertex, and
     lamp scalars are read from the leaf table itself — so animated lamps
     (``with_edges``) stay correct with no re-extraction.
+
+    ``partition``: "auto" decomposes a root that unions spatially-disjoint
+    solid groups into per-cluster event evaluation (scene/partition.py) —
+    O(sum L_c^2) flip work instead of O(L^2), exact under disjoint bounds
+    (single-cluster scenes like config5 are untouched). False forces the
+    global evaluation.
     """
     if not jitter:
         raise NotImplementedError("tape kernel always jitters")
@@ -785,13 +814,28 @@ def render_image_tape_pallas(
         _CAM_CACHE, id(camera.origin), camera.origin,
         lambda: pack_camera(camera),
     )
+    clusters = None
+    if partition in (True, "auto"):
+        from ..scene.partition import partition_tape
+
+        clusters = device_cache(
+            _PARTITION_CACHE,
+            (id(tape.leaf_pos), id(tape.leaf_params), tape.ops),
+            tape.leaf_pos,
+            lambda: partition_tape(tape),
+        )
+        if partition is True and clusters is None:
+            raise ValueError(
+                "partition=True but the tape has no disjoint union "
+                "operands to cluster"
+            )
     image, rays, over = _render_tape_packed(
         program, leaf_tab, cam_row, width, height, spp, max_bounces,
         jnp.asarray(seed, jnp.int32), jnp.asarray(sample_offset, jnp.int32),
         lens, sky, interpret,
         height if rows is None else rows,
         jnp.asarray(row_offset, jnp.int32),
-        with_overflow, nee_lamps,
+        with_overflow, nee_lamps, clusters,
     )
     if with_overflow:
         return image, rays, over

@@ -231,6 +231,81 @@ def csg_night_scene():
     return g
 
 
+def many_objects_scene(n_objects: int = 33, seed: int = 13,
+                       ground: bool = True):
+    """A union of many small DISJOINT CSG solids on a ground plane — the
+    common big-scene authoring pattern and the showcase for the
+    disjoint-cluster decomposition (scene/partition.py): ~3 leaves per
+    object, so 33 objects is a ~100-leaf tape that the global event-flip
+    evaluator handles in O(L^2) but the clustered one in O(L).
+
+    Objects cycle through four shapes (bitten sphere, lens, ring,
+    box+cap) on a jittered grid with non-overlapping footprints; the
+    layout guarantees disjoint bounds (spacing > max object diameter).
+    """
+    rng = np.random.default_rng(seed)
+    g = SceneGraph(max_node_count=16 * n_objects + 8, name="many-objects")
+    palette = [
+        (0.8, 0.35, 0.3), (0.3, 0.7, 0.4), (0.35, 0.45, 0.85),
+        (0.85, 0.75, 0.35), (0.7, 0.4, 0.8), (0.4, 0.75, 0.75),
+    ]
+
+    side = int(np.ceil(np.sqrt(n_objects)))
+    spacing = 2.4  # objects fit in a ~1.0-radius ball: bounds stay disjoint
+    roots = []
+    for k in range(n_objects):
+        gx = (k % side - (side - 1) / 2.0) * spacing
+        gz = (k // side - (side - 1) / 2.0) * spacing
+        cx = gx + float(rng.uniform(-0.25, 0.25))
+        cz = gz + float(rng.uniform(-0.25, 0.25))
+        alb = palette[k % len(palette)]
+        kind = k % 4
+        s = float(rng.uniform(0.75, 1.0))  # object scale
+        if kind == 0:  # bitten sphere
+            a = g.add_sphere_node(0.55 * s, Material.lambertian(alb))
+            b = g.add_box_node((0.4 * s,) * 3,
+                               Material.metal((0.8, 0.8, 0.85), 0.1))
+            node = g.add_difference_of_node(
+                NodeArgument(a, offset=(cx, 0.55 * s, cz)),
+                NodeArgument(b, offset=(cx + 0.3 * s, 0.85 * s, cz)),
+            )
+        elif kind == 1:  # lens (sphere intersection), resting above ground
+            a = g.add_sphere_node(0.6 * s, Material.lambertian(alb))
+            b = g.add_sphere_node(0.6 * s, Material.lambertian(alb))
+            node = g.add_intersection_of_node(
+                NodeArgument(a, offset=(cx, 0.62 * s, cz - 0.3 * s)),
+                NodeArgument(b, offset=(cx, 0.62 * s, cz + 0.3 * s)),
+            )
+        elif kind == 2:  # ring (cylinder difference)
+            a = g.add_cylinder_node(0.55 * s, 0.18 * s,
+                                    Material.lambertian(alb))
+            b = g.add_cylinder_node(0.38 * s, 0.3 * s,
+                                    Material.lambertian(alb))
+            node = g.add_difference_of_node(
+                NodeArgument(a, offset=(cx, 0.18 * s, cz)),
+                NodeArgument(b, offset=(cx, 0.18 * s, cz)),
+            )
+        else:  # box with a sphere cap
+            a = g.add_box_node((0.4 * s, 0.3 * s, 0.4 * s),
+                               Material.lambertian(alb))
+            b = g.add_sphere_node(0.35 * s, Material.metal(alb, 0.2))
+            node = g.add_union_of_node(
+                NodeArgument(a, offset=(cx, 0.3 * s, cz)),
+                NodeArgument(b, offset=(cx, 0.75 * s, cz)),
+            )
+        roots.append(node)
+
+    node = roots[0]
+    for r in roots[1:]:
+        node = g.add_union_of_node(NodeArgument(node), NodeArgument(r))
+    if ground:
+        gr = g.add_infinite_planar_partition_node(
+            (0, 1, 0), Material.lambertian((0.5, 0.5, 0.52))
+        )
+        g.add_union_of_node(NodeArgument(node), NodeArgument(gr))
+    return g
+
+
 def animated_csg_scene(n_levels: int = 8):
     """Config 5: a depth-``n_levels`` CSG tree whose edges animate over time.
 

@@ -150,7 +150,10 @@ def compile_tape(graph: SceneGraph, root: int, k: int = 8) -> CompiledTape:
     edge_off: list = []
 
     def walk(node: int, chain: tuple[int, ...], depth: int) -> None:
-        if depth > 64:
+        # cycle guard: any true tree's depth is < its node count (union
+        # CHAINS of hundreds of objects are legitimate, models.
+        # many_objects_scene)
+        if depth > graph.node_count:
             raise RecursionError("CSG tree too deep (cycle?)")
         ntype = graph.node_type[node]
         info = graph.node_info[node]
