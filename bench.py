@@ -110,7 +110,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--backend", default="auto", choices=["auto", "jnp", "pallas"])
-    ap.add_argument("--frames", type=int, default=2)
+    # 3 frames: each 64-spp frame is ~0.9 s on-chip, well under the
+    # tunnel's 2-min execution kill, and the median is meaningful
+    ap.add_argument("--frames", type=int, default=3)
     ap.add_argument(
         "--p50", default=True,
         action=argparse.BooleanOptionalAction,

@@ -28,7 +28,8 @@ def _add_common(ap):
     ap.add_argument("--out", default="out.png")
 
 
-SCENES = ("milestone01", "diffuse", "csg", "rtiow", "deepcsg", "csgnight")
+SCENES = ("milestone01", "diffuse", "csg", "rtiow", "deepcsg", "csgnight",
+          "manyobjects")
 
 
 def _build(scene_name: str, aspect: float):
@@ -75,6 +76,15 @@ def _build(scene_name: str, aspect: float):
             animate(graph.compile(), 1.0),
             Camera.look_at((0, 2.0, 7.0), (0.5, 0, 0), vfov_degrees=40.0,
                            aspect_ratio=aspect),
+            dict(),
+        )
+    if scene_name == "manyobjects":
+        from csgrenderer_tpu.models import many_objects_scene
+
+        return (
+            many_objects_scene().compile(),
+            Camera.look_at((9.0, 7.5, 12.0), (0.0, 0.3, 0.0),
+                           vfov_degrees=42.0, aspect_ratio=aspect),
             dict(),
         )
     raise SystemExit(f"unknown scene {scene_name!r} (choose from {SCENES})")

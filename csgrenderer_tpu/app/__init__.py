@@ -1,4 +1,5 @@
 from .loop import App
+from .preview import PreviewServer
 from .renderers import PathTraceRenderer, WololoRenderer
 from .stats import FrameStats, StatsClock
 
@@ -7,5 +8,6 @@ __all__ = [
     "FrameStats",
     "StatsClock",
     "PathTraceRenderer",
+    "PreviewServer",
     "WololoRenderer",
 ]

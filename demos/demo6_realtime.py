@@ -60,12 +60,26 @@ def main(argv=None):
     ap.add_argument("--spp", type=int, default=2,
                     help="samples/pixel/frame for the path-traced scenes")
     ap.add_argument("--bounces", type=int, default=8)
+    ap.add_argument("--serve", type=int, default=None, metavar="PORT",
+                    help="live MJPEG preview: watch the run in a browser "
+                    "at http://127.0.0.1:PORT/ (app/preview.py — the "
+                    "headless analog of the reference's GLFW window)")
     args = ap.parse_args(argv)
 
     ring = collections.deque(maxlen=32)  # the "swapchain": last 32 frames
 
+    preview = None
+    if args.serve is not None:
+        from csgrenderer_tpu.app.preview import PreviewServer
+
+        preview = PreviewServer(port=args.serve)
+        preview.start()
+        print(f"[csgr] demo6: live preview at {preview.url}")
+
     def sink(idx, img):
         ring.append((idx, img))
+        if preview is not None:
+            preview.publish(np.asarray(img))
 
     if args.scene == "wololo":
         renderer = WololoRenderer(
@@ -118,6 +132,9 @@ def main(argv=None):
         f"sustained at {args.width}x{args.height} scene={args.scene} "
         f"({args.frames_in_flight} frames in flight)"
     )
+
+    if preview is not None:
+        preview.stop()
 
     if args.gif and ring:
         from csgrenderer_tpu.io.video import write_gif
