@@ -67,6 +67,16 @@ N_ATTRS = len(ATTR_NAMES)
 # id stored in the dense map for PAD and EMPTY voxels: matches no tier's
 # iota (tier offsets stay far below), bf16-exact (256 * 255)
 PAD_CI = 65280.0
+# stream-mode bf16 tier-table VMEM budget (the table shares ~16 MB VMEM
+# with the dense map, mats, and the wavefront's live planes)
+_STREAM_TABLE_BYTES = 9 << 20
+# stream-mode chunk widths: N_SECTIONS*q + 1 flag row packed into k
+# 128-row MXU blocks. The 2-block chunk (19*13+1 = 248) halves chain
+# length vs the 1-block one (19*6+1 = 115) for the same dot issue count,
+# so it's preferred; the 1-block chunk is the fallback when the doubled
+# table rows bust the VMEM budget (very large meshes).
+_STREAM_Q = (128 - 1) // 19
+_STREAM_Q2 = (256 - 1) // 19
 
 # dense maps wider than this use the two-level page-split layout: the
 # flat lookup's one-hot compare costs O(dense_pad/8) vector ops per row
@@ -103,6 +113,16 @@ class TriGridStatic(NamedTuple):
     # O(dense_pad), the 15k-face bottleneck. 0 = flat [2, dense_pad] map
     # (small scenes, where the flat compare is already cheaper).
     n_pages: int = 0
+    # STREAM mode (round 3): ``gather_pages`` > 0 switches the face
+    # gather from whole-table one-hots to DEMAND-PAGED gathers: compact
+    # cells are a SINGLE tier of chained fixed-width chunk columns
+    # ordered along the Morton curve, and an inner service loop
+    # (``_stream_service``) serves, per row group per trip, one
+    # 128-column table page (min-pending-page selection; off-page lanes
+    # wait for a later trip, the loop runs until every lane resolves).
+    # Gather cost per trip is O(1) in mesh size — the 100k-face scaling
+    # fix (doc/PERF_NOTES).
+    gather_pages: int = 0
 
 
 class TriGridPack(NamedTuple):
@@ -220,6 +240,8 @@ def pack_tri_grid(
     min_grid_faces: int = 192,
     footprint_factor: float = 6.0,
     max_globals: int = 16,
+    stream: bool | str = "auto",
+    gather_pages: int = 2,
 ):
     """Build a TriGridPack for a MeshScene, or None if a grid won't help.
 
@@ -227,13 +249,23 @@ def pack_tri_grid(
     table; ``globals_mesh`` holds the faces brute-forced every wave (huge
     footprints like ground quads, plus spill from overfull voxels).
 
+    ``stream``: demand-paged gather mode (see TriGridStatic.gather_pages)
+    — a SINGLE Morton-ordered tier whose per-iteration gather cost is
+    O(gather_pages), independent of mesh size. "auto" switches it on when
+    the tiered whole-table gather would be the measured bottleneck (large
+    meshes); True forces it, False forces the tiered dense gather. Stream
+    mode also lifts the dense/compact caps (the two-level dense map and
+    the paged gather keep per-iteration cost bounded, so big grids are
+    pure capacity, not cost).
+
     Everything returned is NUMPY (host-side packing stays out of jit —
     jnp.asarray inside a trace returns a tracer, see worklist.pack_grid).
     Memoized on the mesh's array identities.
     """
     from ..render.trimesh import MeshScene
 
-    key = (id(mesh.v0), id(mesh.e1), m_max, max_dense, max_compact)
+    key = (id(mesh.v0), id(mesh.e1), m_max, max_dense, max_compact,
+           str(stream), gather_pages)
     cached = _PACK_CACHE.get(key)
     if cached is not None and cached[0] is mesh.v0:
         return cached[1]
@@ -339,6 +371,17 @@ def pack_tri_grid(
             lists[int(ci)] = groups[int(ci)]
         return (nxc, nyc, nzc), g0, lists
 
+    # m values that fill k MXU row-blocks exactly: floor(128k / sections)
+    m_opts = []
+    _k = 1
+    while True:
+        _m = (128 * _k) // N_SECTIONS
+        if _m >= m_max:
+            m_opts.append(m_max)
+            break
+        m_opts.append(_m)
+        _k += 1
+
     # pick the cell size minimizing the one-hot table footprint
     # (sections * m * c_pad ~ MXU cycles per gather); spill the largest
     # faces of overfull voxels to the brute-force globals
@@ -348,16 +391,6 @@ def pack_tri_grid(
         128-row blocks, so m choices that exactly fill blocks are free
         capacity. occs: per-cell face counts (capped at m_max)."""
         occs = np.sort(occs)
-        # m values that fill k row-blocks exactly: floor(128k / sections)
-        m_opts = []
-        k = 1
-        while True:
-            m = (128 * k) // N_SECTIONS
-            if m >= m_max:
-                m_opts.append(m_max)
-                break
-            m_opts.append(m)
-            k += 1
         worst = int(occs[-1])
         need = min(x for x in m_opts if x >= worst)
 
@@ -389,9 +422,21 @@ def pack_tri_grid(
 
     ext = float(np.max(np.max(fmax[grid_mask], axis=0)
                        - np.min(fmin[grid_mask], axis=0)))
-    best = None
+    # stream mode lifts the capacity caps: the two-level dense map and
+    # the demand-paged gather keep per-iteration COST bounded, so a big
+    # grid is pure capacity. n_compact must stay below PAD_CI's id space.
+    # "auto" considers the stream plan only for LARGE meshes (the tiered
+    # gather is cheaper below ~8k faces, and small-mesh packs stay
+    # byte-identical to the pre-stream packer).
+    stream_ok = stream is True or (stream == "auto" and f >= 8000)
+    if stream_ok:
+        max_dense = max(max_dense, 262144)
+        max_compact = max(max_compact, 32768)
+    best_t = None  # tiered whole-table gather plan
+    best_s = None  # stream (single Morton tier, paged gather) plan
     for n_side in (3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32, 40, 48, 64):
-        if best is not None and n_side > 24:
+        have = (best_t is not None) and (best_s is not None or not stream_ok)
+        if have and n_side > 24:
             # the fine rungs exist for DENSE meshes (10k+ faces) whose
             # coarser cells overflow m_max everywhere; when a coarser
             # rung already fits, finer ones only add host pack time
@@ -406,6 +451,7 @@ def pack_tri_grid(
         if len(lists) > max_compact:
             continue
         # spill overfull voxels' largest faces to the brute globals
+        # (tiered only: chained stream chunks have no occupancy cap)
         spilled: set[int] = set()
         for ci, l in lists.items():
             if len(l) > m_max:
@@ -413,24 +459,86 @@ def pack_tri_grid(
                 for i in by_size[: len(l) - m_max]:
                     spilled.add(i)
         n_glob = int(big_face.sum()) + len(spilled)
-        if n_glob > max_globals:
-            continue
         lists2 = {
             ci: [i for i in l if i not in spilled]
             for ci, l in lists.items()
         }
         lists2 = {ci: l for ci, l in lists2.items() if l}
-        if not lists2:
-            continue
-        occs = np.asarray([len(l) for l in lists2.values()])
-        mxu_cols, bounds = plan_tiers(occs)
         # score = per-iteration gather cost x expected iteration count
         # (DDA steps scale with cells crossed ~ ext/cell; the +K damps it
         # for the skip-empty fast path and the non-walk fixed work)
-        score = (mxu_cols + 700.0) * (ext / cell + 10.0)
-        cand = (score, -cell, dims, g0, cell, lists2, spilled, bounds)
-        if best is None or cand[:2] < best[:2]:
-            best = cand
+        it_factor = ext / cell + 10.0
+        if stream is not True and lists2 and n_glob <= max_globals:
+            occs = np.asarray([len(l) for l in lists2.values()])
+            mxu_cols, bounds = plan_tiers(occs)
+            cand = (
+                (mxu_cols + 700.0) * it_factor, -cell,
+                dims, g0, cell, lists2, spilled, bounds,
+            )
+            if best_t is None or cand[:2] < best_t[:2]:
+                best_t = cand
+        if int(big_face.sum()) > max_globals or not lists:
+            continue
+        occs = np.asarray([len(l) for l in lists.values()])
+        if stream_ok:
+            # stream plan: CHAINED fixed-size chunks — every cell's faces
+            # split into q-slot chunks (q*N_SECTIONS + 1 flag row packed
+            # into 1-2 128-row MXU blocks), so the per-trip gather is
+            # one page-slab dot regardless of worst-cell occupancy, and
+            # crowded cells cost extra chain trips instead of fattening
+            # every gather. The whole bf16 table must still FIT in VMEM
+            # alongside the dense map — reject plans over the budget
+            # (phase B: HBM-resident tables streamed by DMA would lift
+            # this).
+            fits = False
+            for q_s in (_STREAM_Q2, _STREAM_Q):
+                chunks_per_cell = np.ceil(occs / q_s)
+                n_chunks = int(chunks_per_cell.sum())
+                w_est = int(np.ceil(n_chunks / 128.0)) * 128
+                fits = (
+                    (N_SECTIONS * q_s + 1) * w_est * 2
+                    <= _STREAM_TABLE_BYTES
+                    and n_chunks < int(PAD_CI) - 128
+                )
+                if fits:
+                    break
+            if fits:
+                # the service consumes ONE chunk per trip. The fixed
+                # term is CALIBRATED from the measured census
+                # (doc/PERF_NOTES): per-iteration cost is dominated by
+                # the wavefront scaffold + dense lookup, not the
+                # page-slab gathers — iteration COUNT, i.e.
+                # cell-crossings x chain length, is what the score
+                # must minimize.
+                import os as _os
+
+                fixed = float(_os.environ.get("CSGR_STREAM_FIXED", 6000.0))
+                chain_mult = float(np.mean(chunks_per_cell))
+                blocks = (N_SECTIONS * q_s + 1 + 127) // 128
+                # crossings split by cell kind: EMPTY cells ride the
+                # skip-empty fast path (~0.4 of an iteration), occupied
+                # cells cost their chain visits
+                frac_occ = len(lists) / float(dims[0] * dims[1] * dims[2])
+                per_cross = 0.4 * (1.0 - frac_occ) + frac_occ * chain_mult
+                cand = (
+                    (128.0 * blocks + fixed) * it_factor * per_cross,
+                    -cell, dims, g0, cell, lists, set(), (q_s,),
+                )
+                if best_s is None or cand[:2] < best_s[:2]:
+                    best_s = cand
+    if stream is True:
+        mode, best = "stream", best_s
+    elif stream is False or best_s is None:
+        mode, best = "tiered", best_t
+    elif best_t is None:
+        mode, best = "stream", best_s
+    else:
+        # auto: tiered whenever it has a plan — measured faster up to
+        # its capacity wall (doc/PERF_NOTES stream-mode census: the
+        # whole-table MXU gather beats paged service until the table
+        # cannot fit/spill, because page service pays deferral or
+        # inner-loop overhead per voxel). Stream is the CAPACITY path.
+        mode, best = "tiered", best_t
     if best is None:
         return _memo(None)
 
@@ -439,25 +547,62 @@ def pack_tri_grid(
     dense_n = nxc * nyc * nzc
     dense_pad = int(np.ceil((dense_n + 1) / 128.0)) * 128
 
-    # assign compact ids tier by tier (ascending occupancy tiers)
-    by_occ = sorted(lists.items(), key=lambda kv: len(kv[1]))
-    tier_cells: list[list] = [[] for _ in bounds]
-    for ci, l in by_occ:
-        for ti, mb in enumerate(bounds):
-            if len(l) <= mb:
-                tier_cells[ti].append((ci, l))
-                break
-    tiers = []
-    tables = []
-    offset = 0
-    for mb, cells in zip(bounds, tier_cells):
-        w = int(np.ceil(len(cells) / 128.0)) * 128 if cells else 0
-        if w == 0:
-            continue
-        tiers.append((mb, w, offset))
-        tables.append(np.zeros((N_SECTIONS * mb, w), np.float32))
-        offset += w
-    n_compact = offset
+    if mode == "stream":
+        # CHAINED CHUNK layout: cells ordered along the Morton curve
+        # (nearby voxels -> nearby columns -> a row group's lanes sit in
+        # few distinct 128-column table pages), each cell's faces split
+        # into consecutive q-slot chunk COLUMNS. Row N_SECTIONS*q is the
+        # continuation flag (1 = another chunk of the same cell follows
+        # in the next column); the dense map stores the FIRST chunk id.
+        def _morton3(ci):
+            cz = ci % nzc
+            cy = (ci // nzc) % nyc
+            cx = ci // (nzc * nyc)
+            out = 0
+            for b in range(10):
+                out |= (
+                    ((cx >> b & 1) << (3 * b))
+                    | ((cy >> b & 1) << (3 * b + 1))
+                    | ((cz >> b & 1) << (3 * b + 2))
+                )
+            return out
+
+        cells_sorted = sorted(lists.items(), key=lambda kv: _morton3(kv[0]))
+        q_s = bounds[0]
+        chunk_cols: list = []  # (cell id, faces, more-follows)
+        first_col: dict[int, int] = {}
+        for ci, l in cells_sorted:
+            n_ch = (len(l) + q_s - 1) // q_s
+            first_col[ci] = len(chunk_cols)
+            for c in range(n_ch):
+                chunk_cols.append(
+                    (ci, l[c * q_s : (c + 1) * q_s], c < n_ch - 1)
+                )
+        w = int(np.ceil(len(chunk_cols) / 128.0)) * 128
+        tiers = [(q_s, w, 0)]
+        tables = [np.zeros((N_SECTIONS * q_s + 1, w), np.float32)]
+        n_compact = w
+        tier_cells = [cells_sorted]
+    else:
+        # assign compact ids tier by tier (ascending occupancy tiers)
+        by_occ = sorted(lists.items(), key=lambda kv: len(kv[1]))
+        tier_cells = [[] for _ in bounds]
+        for ci, l in by_occ:
+            for ti, mb in enumerate(bounds):
+                if len(l) <= mb:
+                    tier_cells[ti].append((ci, l))
+                    break
+        tiers = []
+        tables = []
+        offset = 0
+        for mb, cells in zip(bounds, tier_cells):
+            w = int(np.ceil(len(cells) / 128.0)) * 128 if cells else 0
+            if w == 0:
+                continue
+            tiers.append((mb, w, offset))
+            tables.append(np.zeros((N_SECTIONS * mb, w), np.float32))
+            offset += w
+        n_compact = offset
 
     # dense map: PAD_CI everywhere (pad + empty voxels), real cells set
     # below. Built flat [2, dense_pad] first; repacked page-major after
@@ -480,31 +625,64 @@ def pack_tri_grid(
     mats = np.zeros((8, mat_pad), np.float32)
     mats[0:5, : uniq.shape[0]] = uniq.T
 
-    assert offset < int(PAD_CI), "compact id space collides with PAD_CI"
+    assert n_compact < int(PAD_CI), "compact id space collides with PAD_CI"
     sec = {name: i for i, name in enumerate(_SECTIONS)}
-    for (mb, w, toff), cells, table in zip(tiers, [c for c in tier_cells
-                                                   if c], tables):
-        for local_i, (ci, l) in enumerate(cells):
-            compact_i = toff + local_i
-            dense_map[0, ci] = np.float32(256 * (compact_i // 256))
-            dense_map[1, ci] = np.float32(compact_i % 256)
-            cz = ci % nzc
-            cy = (ci // nzc) % nyc
-            cx = ci // (nzc * nyc)
-            corner = g0 + np.asarray([cx, cy, cz], np.float64) * cell
-            for slot, fi in enumerate(l):
-                vals = {}
-                rel = v0[fi] - corner
-                for ax, axn in enumerate("xyz"):
-                    hi, lo = _bf16_split(rel[ax])
-                    vals[f"v0{axn}_hi"], vals[f"v0{axn}_lo"] = hi, lo
-                    hi, lo = _bf16_split(e1[fi, ax])
-                    vals[f"e1{axn}_hi"], vals[f"e1{axn}_lo"] = hi, lo
-                    hi, lo = _bf16_split(e2[fi, ax])
-                    vals[f"e2{axn}_hi"], vals[f"e2{axn}_lo"] = hi, lo
-                vals["mat_id"] = np.float32(face_mat[fi])
-                for name, v in vals.items():
-                    table[sec[name] * mb + slot, local_i] = v
+
+    def fill_slot(table, mb, col, slot, fi, corner):
+        vals = {}
+        rel = v0[fi] - corner
+        for ax, axn in enumerate("xyz"):
+            hi, lo = _bf16_split(rel[ax])
+            vals[f"v0{axn}_hi"], vals[f"v0{axn}_lo"] = hi, lo
+            hi, lo = _bf16_split(e1[fi, ax])
+            vals[f"e1{axn}_hi"], vals[f"e1{axn}_lo"] = hi, lo
+            hi, lo = _bf16_split(e2[fi, ax])
+            vals[f"e2{axn}_hi"], vals[f"e2{axn}_lo"] = hi, lo
+        vals["mat_id"] = np.float32(face_mat[fi])
+        for name, v in vals.items():
+            table[sec[name] * mb + slot, col] = v
+
+    def cell_corner(ci):
+        cz = ci % nzc
+        cy = (ci // nzc) % nyc
+        cx = ci // (nzc * nyc)
+        return g0 + np.asarray([cx, cy, cz], np.float64) * cell
+
+    if mode == "stream":
+        table = tables[0]
+        for col, (ci, faces, more) in enumerate(chunk_cols):
+            corner = cell_corner(ci)
+            for slot, fi in enumerate(faces):
+                fill_slot(table, q_s, col, slot, fi, corner)
+            table[N_SECTIONS * q_s, col] = 1.0 if more else 0.0
+        for ci, col0 in first_col.items():
+            dense_map[0, ci] = np.float32(256 * (col0 // 256))
+            dense_map[1, ci] = np.float32(col0 % 256)
+        # PAGE-MAJOR repack: page p's [R, 128] slab lives at rows
+        # [p*R, (p+1)*R) so the service slices it on the SUBLANE dim
+        # (8-aligned static-width dynamic slice — measured 2-4x cheaper
+        # than a dynamic-offset slice on the minor/lane dim,
+        # tools/exp_slab.py)
+        rr = table.shape[0]
+        rr_pad = int(np.ceil(rr / 8.0)) * 8  # 8-aligned slab offsets
+        n_pg = w // 128
+        paged_tab = np.zeros((n_pg, rr_pad, 128), np.float32)
+        paged_tab[:, :rr, :] = table.reshape(rr, n_pg, 128).transpose(
+            1, 0, 2
+        )
+        tables[0] = np.ascontiguousarray(
+            paged_tab.reshape(n_pg * rr_pad, 128)
+        )
+    else:
+        for (mb, w, toff), cells, table in zip(tiers, [c for c in tier_cells
+                                                       if c], tables):
+            for local_i, (ci, l) in enumerate(cells):
+                compact_i = toff + local_i
+                dense_map[0, ci] = np.float32(256 * (compact_i // 256))
+                dense_map[1, ci] = np.float32(compact_i % 256)
+                corner = cell_corner(ci)
+                for slot, fi in enumerate(l):
+                    fill_slot(table, mb, local_i, slot, fi, corner)
 
     globals_idx = np.sort(
         np.concatenate([np.where(big_face)[0], np.fromiter(spilled, int,
@@ -536,6 +714,7 @@ def pack_tri_grid(
         n_compact=n_compact,
         x0=float(g0[0]), y0=float(g0[1]), z0=float(g0[2]), cell=float(cell),
         n_pages=n_pages,
+        gather_pages=gather_pages if mode == "stream" else 0,
     )
     # global-face material ids (for the shared shade-time mat gather)
     glob_mat = face_mat[globals_idx].astype(np.float32)
@@ -549,6 +728,28 @@ def pack_tri_grid(
 # ---------------------------------------------------------------------------
 # kernel-side fragments (trace-time builders over [8,128] planes)
 # ---------------------------------------------------------------------------
+
+
+def _page_slab(tab, page, rows_pad):
+    """[rows_pad, 128] slab of PAGE-MAJOR table ``tab`` (page p occupies
+    rows [p*rows_pad, (p+1)*rows_pad), rows_pad 8-aligned) at DYNAMIC
+    page index — a SUBLANE-dim dynamic slice, measured 2-4x cheaper than
+    the lane-dim slice of the [R, W] layout (tools/exp_slab.py). Works on
+    a Pallas VMEM ref (``ref[pl.ds(...), :]``, the production path) and
+    on a plain jnp array (``dynamic_slice``, the emit_tri_grid_walk fuzz
+    path) transparently. NB: a Ref also satisfies isinstance(jax.Array)
+    in interpret mode, so the Ref test must come first."""
+    from jax._src.state.types import AbstractRef
+
+    if isinstance(tab, jax.Ref) or isinstance(
+        getattr(tab, "aval", None), AbstractRef
+    ):
+        from jax.experimental import pallas as pl
+
+        return tab[pl.ds(page * rows_pad, rows_pad), :]
+    return jax.lax.dynamic_slice_in_dim(
+        tab, page * rows_pad, rows_pad, axis=0
+    )
 
 
 def tri_grid_setup(gs: TriGridStatic, o, d, t_glob):
@@ -709,11 +910,219 @@ def _compact_lookup(gs: TriGridStatic, dense_tab, walk, act):
     return jnp.concatenate(rows, axis=0)  # [8,128] f32 compact cell ids
 
 
+def _mt_slots(got, m, row_ctx, eps):
+    """Möller-Trumbore over the gathered column's ``m`` slots; returns
+    (tc_min [1,128], winner attr planes). Zero (padding / unserved)
+    slots fail via the NaN route: det=0 -> inv_det=inf -> u=NaN ->
+    valid False. ``row_ctx`` = (dxr, dyr, dzr, tox, toy, toz), the row
+    group's direction and corner-relative-origin planes."""
+    dxr, dyr, dzr, tox, toy, toz = row_ctx
+    big = BIG
+
+    def sect(i):
+        return got[i * m : (i + 1) * m]
+
+    # reconstruct slot geometry (hi+lo); v0 is voxel-corner-relative
+    v0x = sect(0) + sect(1)
+    v0y = sect(2) + sect(3)
+    v0z = sect(4) + sect(5)
+    e1x = sect(6) + sect(7)
+    e1y = sect(8) + sect(9)
+    e1z = sect(10) + sect(11)
+    e2x = sect(12) + sect(13)
+    e2y = sect(14) + sect(15)
+    e2z = sect(16) + sect(17)
+    mid = sect(18)
+
+    tvx = tox - v0x
+    tvy = toy - v0y
+    tvz = toz - v0z
+    # pvec = d x e2
+    pvx = dyr * e2z - dzr * e2y
+    pvy = dzr * e2x - dxr * e2z
+    pvz = dxr * e2y - dyr * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    inv_det = 1.0 / det  # inf/NaN on degenerate/padding -> rejected
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    # qvec = tvec x e1
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dxr * qvx + dyr * qvy + dzr * qvz) * inv_det
+    tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+    valid = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (tt > eps)
+    tc = jnp.where(valid, tt, big)
+    tc_min = jnp.min(tc, axis=0, keepdims=True)  # [1,128]
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (m, TILE_LANES), 0)
+    winner = jnp.where(tc == tc_min, slot_iota, jnp.int32(m))
+    w_min = jnp.min(winner, axis=0, keepdims=True)
+    sel = slot_iota == w_min
+    slot_attrs = (e1x, e1y, e1z, e2x, e2y, e2z, mid)
+    a_tier = [
+        jnp.min(jnp.where(sel, sa, big), axis=0, keepdims=True)
+        for sa in slot_attrs
+    ]
+    return tc_min, a_tier
+
+
+def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps):
+    """Chained demand-paged gather (stream mode): resolve EVERY lane's
+    voxel in full. An inner while loop serves, per row group per trip,
+    the MINIMUM pending 128-column table page (one dynamic [*,128] slab
+    slice) and ONE chunk column of each served lane's cell chain; lanes
+    whose page was not this trip's row minimum, or whose chain has more
+    chunks, stay pending. The loop runs until no lane is pending, so
+    the caller's DDA walk is identical to the tiered path's (one voxel
+    per step, no deferral) while the gather cost per trip is ONE
+    page-slab dot x 8 row groups — independent of mesh size.
+
+    All mask/index/chain bookkeeping runs in FULL-BLOCK [8,128] form:
+    the v1 service did it in [1,128] slices per row group (~400 ops at
+    1/8 VPU occupancy per trip) and measured a pathological ~47 us/trip
+    (doc/PERF_NOTES round-3 census); only the per-group slab dot + MT
+    remain inside the row-group loop.
+
+    ``ci``: [8,128] f32 FIRST-chunk ids (PAD_CI for empty/inactive).
+    ``to``: corner-relative ray origins. Returns (t_cand, attr planes).
+
+    ``gs.gather_pages`` = k pages served per trip, TILE-GLOBAL: the k
+    SMALLEST distinct pending pages across all 8 row groups are found
+    with k masked global mins, their [rr, 128] page-major slabs (one
+    8-aligned SUBLANE-dim dynamic slice each — the [R, W] lane-dim slice
+    plus its per-group scalar reads measured ~10 us/trip,
+    tools/exp_slab.py) concatenate into ONE shared [rr, k*128] operand,
+    and each row group pays a single wide dot against its concatenated
+    k-page one-hot — a lane's column is set in at most one page block
+    (its own), so the MT / flag / bookkeeping cost stays that of a
+    single serve. Trips with fewer than k distinct pending pages burn
+    the spare slabs on a clamped repeat page with an all-(-1) local
+    (zero one-hot). BLOCK pixel assignment (trimesh_kernel.slot_pixel)
+    keeps a tile's rays in few Morton-ordered pages, which is what makes
+    tile-global page voting converge in ~1-2 trips.
+    """
+    (q_s, w_s, _), = gs.tiers
+    k_pages = max(1, int(gs.gather_pages))
+    rr = N_SECTIONS * q_s + 1
+    rr_pad = int(np.ceil(rr / 8.0)) * 8  # packer's 8-aligned slab rows
+    flag_row = N_SECTIONS * q_s  # continuation-flag row index
+    pbig = np.float32(w_s // 128)  # sentinel > any real page
+    inv128 = np.float32(1.0 / 128.0)
+    pad_ci = np.float32(PAD_CI)
+    big = BIG
+    dx, dy, dz = d
+    tox, toy, toz = to
+
+    # value-dependent inits (a SPLAT-initialized while carry gets pinned
+    # to a replicated Mosaic layout the body value can't relayout into)
+    zerof = ci * 0.0
+    t0 = zerof + big
+    carry0 = (
+        ci,  # chain cursor: starts at the cell's first chunk
+        (ci < pad_ci).astype(jnp.int32),  # pending flag per lane
+        t0,
+        zerof,  # trip counter (census only, CSGR_DEBUG_TRIPS)
+    ) + tuple(zerof for _ in range(N_ATTRS))
+
+    def cond(c):
+        return jnp.max(c[1]) > 0
+
+    def body(c):
+        cur, nd, t_c, trips = c[0], c[1], c[2], c[3]
+        attrs_c = c[4:]
+        ndb = nd > 0
+        # k SMALLEST distinct pending pages across the TILE: k masked
+        # global reductions (0-d values stay in vregs for the compares;
+        # only the slab index pays a vreg->sreg read, k per trip total)
+        pg = jnp.where(ndb, jnp.floor(cur * inv128), pbig)  # [8,128]
+        p_js = []
+        locals_ = []
+        slabs = []
+        rem = pg
+        for _ in range(k_pages):
+            p_j = jnp.min(rem)  # 0-d
+            rem = jnp.where(pg == p_j, pbig, rem)
+            # local chunk column within this served page; -1 parks the
+            # off-page lanes (their one-hot matches nothing -> zero
+            # slots -> Moller-Trumbore rejects via the det=0 NaN route)
+            locals_.append(jnp.where(
+                ndb & (pg == p_j),
+                cur - p_j * np.float32(128.0), np.float32(-1.0),
+            ))
+            p_i = jnp.minimum(p_j, pbig - 1.0).astype(jnp.int32)
+            slabs.append(_page_slab(tab, p_i, rr_pad))
+            p_js.append(p_j)
+        # {p_1..p_k} are exactly the k smallest distinct pending pages,
+        # so a pending lane is served this trip iff pg <= p_k
+        on_p = ndb & (pg <= p_js[-1])
+        slab_cat = (
+            slabs[0] if k_pages == 1
+            else jnp.concatenate(slabs, axis=1)
+        )  # [rr_pad, k*128], shared by all 8 row groups
+        iota_f = jax.lax.broadcasted_iota(
+            jnp.int32, (128, TILE_LANES), 0
+        ).astype(jnp.float32)
+        tc_rows = []
+        flag_rows = []
+        a_rows: list = [[] for _ in range(N_ATTRS)]
+        for g in range(TILE_ROWS):
+            # per-lane chunk-column extraction by ONE wide one-hot MXU
+            # pass over the k concatenated page slabs: a lane's one-hot
+            # rows are nonzero only inside its own page's 128-block.
+            # (A tpu.dynamic_gather / take_along_axis lane-shuffle was
+            # 5x faster in a micro-bench (tools/exp_gather.py) but 30%
+            # SLOWER in the real kernel — the shuffle serializes
+            # against the surrounding vector work where the MXU pass
+            # overlaps it; measured 4832 -> 6380 ms on the 15k scene.
+            # Keep the dot.)
+            onehot = jnp.concatenate(
+                [
+                    (iota_f == local[g : g + 1]).astype(slab_cat.dtype)
+                    for local in locals_
+                ],
+                axis=0,
+            ) if k_pages > 1 else (
+                iota_f == locals_[0][g : g + 1]
+            ).astype(slab_cat.dtype)
+            got = jax.lax.dot_general(
+                slab_cat, onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # flags travel as int32: Mosaic cannot select between i1
+            # vectors ("Unsupported target bitwidth for truncation")
+            flag_rows.append(
+                (got[flag_row : flag_row + 1] > 0.0).astype(jnp.int32)
+            )
+            row_ctx = (
+                dx[g : g + 1], dy[g : g + 1], dz[g : g + 1],
+                tox[g : g + 1], toy[g : g + 1], toz[g : g + 1],
+            )
+            tc_g, at_g = _mt_slots(got, q_s, row_ctx, eps)
+            tc_rows.append(tc_g)
+            for j in range(N_ATTRS):
+                a_rows[j].append(at_g[j])
+        # merge + chain bookkeeping, all in [8,128] block form
+        tc = jnp.where(on_p, jnp.concatenate(tc_rows, axis=0), big)
+        flag = jnp.concatenate(flag_rows, axis=0)  # [8,128] int32
+        better = tc < t_c
+        t_new = jnp.where(better, tc, t_c)
+        a_new = tuple(
+            jnp.where(better, jnp.concatenate(rows, axis=0), old)
+            for rows, old in zip(a_rows, attrs_c)
+        )
+        cur2 = jnp.where(on_p & (flag > 0), cur + 1.0, cur)
+        nd2 = jnp.where(on_p & (flag == 0), 0, nd)
+        return (cur2, nd2, t_new, trips + 1.0) + a_new
+
+    res = jax.lax.while_loop(cond, body, carry0)
+    return res[2], list(res[4:]), res[3]
+
+
 def tri_grid_step(gs: TriGridStatic, dense_tab, tri_tabs, state, o, d,
                   skip_empty: int = 2):
     """ONE DDA step for every lane: compact lookup (+ cheap empty-voxel
-    skips) -> per-tier one-hot face gather -> Moller-Trumbore over the
-    tier slots -> advance.
+    skips) -> one-hot face gather (whole-tier tables, or the stream
+    mode's chained page service) -> Moller-Trumbore over the slots ->
+    advance.
 
     ``state`` = (march, walk, t_best, id_best, attrs) in the
     common.grid_wavefront layout. ``tri_tabs``: one table per occupancy
@@ -731,8 +1140,24 @@ def tri_grid_step(gs: TriGridStatic, dense_tab, tri_tabs, state, o, d,
     eps = np.float32(1e-3)
     pad_ci = np.float32(PAD_CI)
 
+    # cost-census stubs (doc/PERF_NOTES): CSGR_STUB=dense kills the
+    # compact lookup (every voxel reads empty), =gather additionally
+    # kills the face gather+MT, =mt kills only the MT math. Outputs are
+    # WRONG under any stub — census timing only.
+    import os as _os
+
+    _stub = _os.environ.get("CSGR_STUB", "")
+
+    stream = gs.gather_pages > 0
     act = march > 0
-    ci = _compact_lookup(gs, dense_tab, walk, act)
+
+    def lookup(walk, act):
+        if _stub == "dense":
+            # value-dependent pad constant, no MXU lookup
+            return jnp.where(act, pad_ci, pad_ci)
+        return _compact_lookup(gs, dense_tab, walk, act)
+
+    ci = lookup(walk, act)
     for _ in range(skip_empty):
         # advance lanes sitting in EMPTY voxels without paying the gathers
         empty = act & (ci >= pad_ci)
@@ -740,7 +1165,7 @@ def tri_grid_step(gs: TriGridStatic, dense_tab, tri_tabs, state, o, d,
         # lanes that advanced out of the walk are done marching
         march = jnp.where(empty, still.astype(jnp.int32), march)
         act = march > 0
-        ci = jnp.where(empty, _compact_lookup(gs, dense_tab, walk, act), ci)
+        ci = jnp.where(empty, lookup(walk, act), ci)
 
     ci = jnp.where(act, ci, pad_ci)
 
@@ -748,96 +1173,73 @@ def tri_grid_step(gs: TriGridStatic, dense_tab, tri_tabs, state, o, d,
     cornx = np.float32(gs.x0) + ix.astype(jnp.float32) * np.float32(gs.cell)
     corny = np.float32(gs.y0) + iy.astype(jnp.float32) * np.float32(gs.cell)
     cornz = np.float32(gs.z0) + iz.astype(jnp.float32) * np.float32(gs.cell)
+    # tvec = (o - corner) - v0_rel : the subtraction keeps the small
+    # cell-relative magnitudes (precision) and costs one extra sub/row
+    tox = ox - cornx
+    toy = oy - corny
+    toz = oz - cornz
 
-    t_rows = []
-    attr_rows = [[] for _ in range(N_ATTRS)]
-    for g in range(TILE_ROWS):
-        dxr, dyr, dzr = dx[g : g + 1], dy[g : g + 1], dz[g : g + 1]
-        # tvec = (o - corner) - v0_rel : the subtraction keeps the small
-        # cell-relative magnitudes (precision) and costs one extra sub/row
-        tox = ox[g : g + 1] - cornx[g : g + 1]
-        toy = oy[g : g + 1] - corny[g : g + 1]
-        toz = oz[g : g + 1] - cornz[g : g + 1]
-
-        t_row = None
-        a_row = None
-        for (m, w, toff), tab in zip(gs.tiers, tri_tabs):
-            c_iota_f = jax.lax.broadcasted_iota(
-                jnp.int32, (w, TILE_LANES), 0
-            ).astype(jnp.float32)
-            onehot = (
-                c_iota_f == (ci[g : g + 1] - np.float32(toff))
-            ).astype(tab.dtype)
-            got = jax.lax.dot_general(
-                tab, onehot,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [N_SECTIONS*m, 128]
-
-            def sect(i, got=got, m=m):
-                return got[i * m : (i + 1) * m]
-
-            # reconstruct slot geometry (hi+lo); v0 is voxel-corner-relative
-            v0x = sect(0) + sect(1)
-            v0y = sect(2) + sect(3)
-            v0z = sect(4) + sect(5)
-            e1x = sect(6) + sect(7)
-            e1y = sect(8) + sect(9)
-            e1z = sect(10) + sect(11)
-            e2x = sect(12) + sect(13)
-            e2y = sect(14) + sect(15)
-            e2z = sect(16) + sect(17)
-            mid = sect(18)
-
-            tvx = tox - v0x
-            tvy = toy - v0y
-            tvz = toz - v0z
-            # pvec = d x e2
-            pvx = dyr * e2z - dzr * e2y
-            pvy = dzr * e2x - dxr * e2z
-            pvz = dxr * e2y - dyr * e2x
-            det = e1x * pvx + e1y * pvy + e1z * pvz
-            inv_det = 1.0 / det  # inf/NaN on degenerate/padding -> rejected
-            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-            # qvec = tvec x e1
-            qvx = tvy * e1z - tvz * e1y
-            qvy = tvz * e1x - tvx * e1z
-            qvz = tvx * e1y - tvy * e1x
-            v = (dxr * qvx + dyr * qvy + dzr * qvz) * inv_det
-            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-            valid = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (tt > eps)
-            tc = jnp.where(valid, tt, big)
-            tc_min = jnp.min(tc, axis=0, keepdims=True)  # [1,128]
-            slot_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (m, TILE_LANES), 0
+    if _stub == "gather":
+        t_cand = tox * 0.0 + big
+        attr_pl = [tox * 0.0 for _ in range(N_ATTRS)]
+    elif stream:
+        t_cand, attr_pl, trips = _stream_service(
+            gs, tri_tabs[0], ci, d, (tox, toy, toz), eps
+        )
+        if _os.environ.get("CSGR_DEBUG_TRIPS"):
+            # census only (corrupts id_best): accumulate service-loop
+            # trip counts; trimesh_kernel reports them via rays_ref
+            id_best = id_best + trips
+    else:
+        t_rows = []
+        attr_rows = [[] for _ in range(N_ATTRS)]
+        for g in range(TILE_ROWS):
+            row_ctx = (
+                dx[g : g + 1], dy[g : g + 1], dz[g : g + 1],
+                tox[g : g + 1], toy[g : g + 1], toz[g : g + 1],
             )
-            winner = jnp.where(tc == tc_min, slot_iota, jnp.int32(m))
-            w_min = jnp.min(winner, axis=0, keepdims=True)
-            sel = slot_iota == w_min
-            slot_attrs = (e1x, e1y, e1z, e2x, e2y, e2z, mid)
-            a_tier = [
-                jnp.min(jnp.where(sel, sa, big), axis=0, keepdims=True)
-                for sa in slot_attrs
-            ]
-            if t_row is None:
-                t_row, a_row = tc_min, a_tier
-            else:
-                better = tc_min < t_row
-                a_row = [
-                    jnp.where(better, an, ao)
-                    for an, ao in zip(a_tier, a_row)
-                ]
-                t_row = jnp.where(better, tc_min, t_row)
-        t_rows.append(t_row)
-        for j in range(N_ATTRS):
-            attr_rows[j].append(a_row[j])
+            t_row = None
+            a_row = None
+            for (m, w, toff), tab in zip(gs.tiers, tri_tabs):
+                c_iota_f = jax.lax.broadcasted_iota(
+                    jnp.int32, (w, TILE_LANES), 0
+                ).astype(jnp.float32)
+                onehot = (
+                    c_iota_f == (ci[g : g + 1] - np.float32(toff))
+                ).astype(tab.dtype)
+                got = jax.lax.dot_general(
+                    tab, onehot,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [N_SECTIONS*m, 128]
+                if _stub == "mt":
+                    # keep the dot alive, skip the MT math
+                    tc_min = jnp.where(got[0:1] > big, got[0:1], big)
+                    a_tier = [got[j : j + 1] * 0.0 for j in range(N_ATTRS)]
+                else:
+                    tc_min, a_tier = _mt_slots(got, m, row_ctx, eps)
+                if t_row is None:
+                    t_row, a_row = tc_min, a_tier
+                else:
+                    better = tc_min < t_row
+                    a_row = [
+                        jnp.where(better, an, ao)
+                        for an, ao in zip(a_tier, a_row)
+                    ]
+                    t_row = jnp.where(better, tc_min, t_row)
+            t_rows.append(t_row)
+            for j in range(N_ATTRS):
+                attr_rows[j].append(a_row[j])
+        t_cand = jnp.concatenate(t_rows, axis=0)  # [8,128]
+        attr_pl = [
+            jnp.concatenate(rows, axis=0) for rows in attr_rows
+        ]
 
-    t_cand = jnp.concatenate(t_rows, axis=0)  # [8,128]
     improve = act & (t_cand < t_best)
     t_best = jnp.where(improve, t_cand, t_best)
     attrs = tuple(
-        jnp.where(improve, jnp.concatenate(rows, axis=0), old)
-        for rows, old in zip(attr_rows, attrs)
+        jnp.where(improve, new, old)
+        for new, old in zip(attr_pl, attrs)
     )
 
     still, walk = _dda_advance3(gs, walk, d, act, t_best)

@@ -224,10 +224,21 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, f_pad, n_pix,
         else:
             # ---- grid mode: fused 3D DDA on the rotating wavefront ----
             n_tiles_static = (n_pix + TILE - 1) // TILE
+            stream_mode = grid_static.gather_pages > 0
 
             def slot_pixel(k_plane):
                 rrot = (row_ids + k_plane) & 7
-                lp = (rrot * TILE_LANES + lane_ids) * n_tiles_static + tile_idx
+                if stream_mode:
+                    # BLOCK assignment: a row group's 128 lanes cover one
+                    # contiguous scanline chunk, so their rays sit in 1-2
+                    # Morton table pages (the demand-paged gather's whole
+                    # premise, tri_worklist stream mode). Rotation still
+                    # averages load over the tile's 8 rows.
+                    lp = tile_idx * TILE + rrot * TILE_LANES + lane_ids
+                else:
+                    lp = (
+                        rrot * TILE_LANES + lane_ids
+                    ) * n_tiles_static + tile_idx
                 return lp + pixel_offset, lp < n_pix
 
             def brute_globals(o, d):
@@ -275,9 +286,15 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, f_pad, n_pix,
                 )
 
             def grid_step_fn(ray_ctx, state, o, d):
+                # stream mode passes the tier REF itself: the step slices
+                # [*, 128] page slabs out of it (pl.ds) instead of
+                # loading the whole table
+                tabs = (
+                    tuple(tier_refs) if stream_mode
+                    else tuple(r[:] for r in tier_refs)
+                )
                 return tri_grid_step(
-                    grid_static, dense_ref[:],
-                    tuple(r[:] for r in tier_refs), state, o, d,
+                    grid_static, dense_ref[:], tabs, state, o, d,
                 )
 
             mat_iota_f = jax.lax.broadcasted_iota(
@@ -321,6 +338,9 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, f_pad, n_pix,
 
             zero = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.float32)
             zero_i = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32)
+            walk0 = (zero_i, zero_i, zero_i, zero, zero, zero, zero)
+            import os as _os
+
             state = grid_wavefront(
                 spp=spp, max_bounces=max_bounces, width=width, seed=seed,
                 sky=sky, sample_offset_u=sample_offset_u,
@@ -329,12 +349,24 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, f_pad, n_pix,
                 slot_pixel=slot_pixel, camera_rays=camera_rays,
                 seg_init=seg_init, grid_step_fn=grid_step_fn,
                 hit_surface=hit_surface, n_attrs=N_ATTRS,
-                walk0=(zero_i, zero_i, zero_i, zero, zero, zero, zero),
+                walk0=walk0,
+                steps_per_iter=int(_os.environ.get("CSGR_MESH_STEPS", "1")),
             )
         out_r_ref[:] = state["rad"][0]
         out_g_ref[:] = state["rad"][1]
         out_b_ref[:] = state["rad"][2]
-        rays_ref[:] = state["rays"]
+        import os as _os
+        if _os.environ.get("CSGR_DEBUG_ITERS") and grid_static is not None:
+            # iteration census (sum(rays) then reports wavefront
+            # iterations x tiles): deferral / occupancy diagnosis
+            rays_ref[:] = state["iters"]
+        elif (_os.environ.get("CSGR_DEBUG_TRIPS")
+              and grid_static is not None):
+            # stream-service trip census (sum(rays)/1024 = total trips
+            # across tiles; tri_grid_step accumulates into id_best)
+            rays_ref[:] = state["id_best"].astype(jnp.int32)
+        else:
+            rays_ref[:] = state["rays"]
 
     return kernel
 
@@ -403,8 +435,10 @@ def _render_mesh_packed(
         interpret=interpret,
     )(*inputs)
 
-    if grid_static is not None:
+    if grid_static is not None and grid_static.gather_pages == 0:
         # un-stride: kernel slot q of tile t holds pixel q*n_tiles + t
+        # (stream mode uses BLOCK assignment: slots are already in pixel
+        # order, nothing to permute)
         def unstride(arr):
             return arr.reshape(n_tiles, TILE).T.reshape(-1)
 
@@ -432,12 +466,16 @@ def render_image_mesh_pallas(
     rows: int | None = None,
     row_offset=0,
     worklist: bool | str = "auto",
+    gather_pages: int = 2,
 ):
     """Drop-in for ``integrator.render_image`` on MeshScene.
 
     ``worklist``: "auto" builds per-voxel triangle worklists when the mesh
     is large enough to profit (kernels/tri_worklist.py); True forces the
-    attempt, False forces brute force.
+    attempt, False forces brute force; "stream" forces the demand-paged
+    single-tier gather (tri_worklist stream mode) regardless of size.
+    ``gather_pages``: stream-mode pages served per row group per
+    iteration (tri_worklist.TriGridStatic.gather_pages).
     """
     if not jitter:
         raise NotImplementedError("mesh kernel always jitters")
@@ -446,10 +484,16 @@ def render_image_mesh_pallas(
         grid_static = None
         grid_tables = None
         n_globals = 0
-        if worklist in (True, "auto"):
+        if worklist in (True, "auto", "stream", "tiered"):
             import ml_dtypes
 
-            res = pack_tri_grid(mesh)
+            res = pack_tri_grid(
+                mesh,
+                stream={"stream": True, "tiered": False}.get(
+                    worklist, "auto"
+                ),
+                gather_pages=gather_pages,
+            )
             if res is not None:
                 pack, glob_mesh, glob_mat = res
                 grid_static = pack.static
@@ -463,9 +507,9 @@ def render_image_mesh_pallas(
                 )
                 n_globals = int(pack.globals_idx.shape[0])
                 packed = jnp.asarray(pack_mesh_globals(glob_mesh, glob_mat))
-            elif worklist is True:
+            elif worklist in (True, "stream", "tiered"):
                 raise ValueError(
-                    "worklist=True but the mesh is not griddable"
+                    f"worklist={worklist!r} but the mesh is not griddable"
                 )
             else:
                 packed = pack_mesh(mesh)
@@ -477,7 +521,8 @@ def render_image_mesh_pallas(
     from .megakernel import _CAM_CACHE
 
     packed, grid_static, grid_tables, n_globals = device_cache(
-        _MESH_PREP_CACHE, (id(mesh.v0), str(worklist)), mesh.v0, _prepare
+        _MESH_PREP_CACHE, (id(mesh.v0), str(worklist), gather_pages),
+        mesh.v0, _prepare
     )
     cam_row = device_cache(
         _CAM_CACHE, id(camera.origin), camera.origin,

@@ -111,12 +111,15 @@ def test_partitioned_kernel_matches_jnp_reference():
     self-consistency."""
     tape = many_objects_scene(9).compile(k=4)
     assert partition_tape(tape) is not None
+    # 48x24 keeps interpret-mode wall time ~5x down vs 64x32 (this was
+    # the slowest test in the suite at 544 s) without weakening the
+    # oracle: exactness is per-ray, and the fuzz tests cover ray space
     ref, rrays = render_image(
-        partial(tape_hit_adapter, tape), CAM, 64, 32, spp=2, max_bounces=3,
+        partial(tape_hit_adapter, tape), CAM, 48, 24, spp=2, max_bounces=3,
         seed=5,
     )
     img, krays = render_image_tape_pallas(
-        tape, CAM, 64, 32, spp=2, max_bounces=3, seed=5, interpret=True,
+        tape, CAM, 48, 24, spp=2, max_bounces=3, seed=5, interpret=True,
         partition=True,
     )
     ref, img = np.asarray(ref), np.asarray(img)

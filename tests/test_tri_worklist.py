@@ -108,14 +108,19 @@ def test_paged_dense_map_roundtrip():
     assert off == gs.n_compact
 
 
-@pytest.mark.parametrize("sub", [2, 3])
-def test_walk_matches_brute_mt_fuzz(sub):
+@pytest.mark.parametrize("sub,stream", [(2, False), (3, False), (3, True)])
+def test_walk_matches_brute_mt_fuzz(sub, stream):
     """sub=2 exercises the flat dense map, sub=3 (3842 faces) the
-    two-level PAGED map (round 2b scaling fix)."""
+    two-level PAGED map (round 2b scaling fix); stream=True the
+    demand-paged single-Morton-tier gather with lane deferral (round 3
+    100k-face fix)."""
     mesh = demo_mesh(sub)
-    pack, glob_mesh, _ = pack_tri_grid(mesh)
+    pack, glob_mesh, _ = pack_tri_grid(mesh, stream=stream or "auto")
     gs = pack.static
     assert (gs.n_pages > 0) == (sub == 3)  # paged layout kicks in
+    assert (gs.gather_pages > 0) == stream
+    if stream:
+        assert len(gs.tiers) == 1  # single Morton-ordered tier
     dense, tabs = bf16_tables(pack)
 
     rng = np.random.default_rng(0)
@@ -161,10 +166,12 @@ def test_walk_matches_brute_mt_fuzz(sub):
     assert rel.max() < 5e-3
 
 
-@pytest.mark.parametrize("sub", [2, 3])
-def test_grid_kernel_matches_reference(sub):
+@pytest.mark.parametrize("sub,worklist", [(2, True), (3, True), (3, "stream")])
+def test_grid_kernel_matches_reference(sub, worklist):
     # sub=3 runs the PAGED dense map through the real kernel path
-    # (interpret mode): table shapes, dense_ref plumbing, page decode
+    # (interpret mode): table shapes, dense_ref plumbing, page decode.
+    # worklist="stream" runs the demand-paged gather end to end: ref
+    # page slicing, lane deferral, BLOCK slot assignment + no unstride
     mesh = demo_mesh(sub)
     cam = Camera.look_at(
         (0.0, 1.6, 2.2), (0.0, 0.7, -2.6),
@@ -172,7 +179,7 @@ def test_grid_kernel_matches_reference(sub):
     )
     img_g, rays_g = render_image_mesh_pallas(
         mesh, cam, 64, 36, spp=4, max_bounces=4, seed=7,
-        interpret=True, worklist=True,
+        interpret=True, worklist=worklist,
     )
     img_j, rays_j = render_image(
         mesh.nearest_hit, cam, 64, 36, spp=4, max_bounces=4, seed=7
@@ -182,9 +189,10 @@ def test_grid_kernel_matches_reference(sub):
     assert rmse < 1.5e-3  # bf16 table noise only
 
 
-def test_grid_kernel_slab_sharding():
+@pytest.mark.parametrize("worklist", [True, "stream"])
+def test_grid_kernel_slab_sharding(worklist):
     """Rendering two half-height slabs == the full frame (the multi-chip
-    row-sharding primitive), on the grid path."""
+    row-sharding primitive), on the grid path (both gather modes)."""
     mesh = demo_mesh()
     cam = Camera.look_at(
         (0.0, 1.6, 2.2), (0.0, 0.7, -2.6),
@@ -192,15 +200,15 @@ def test_grid_kernel_slab_sharding():
     )
     full, _ = render_image_mesh_pallas(
         mesh, cam, 64, 32, spp=2, max_bounces=3, seed=3,
-        interpret=True, worklist=True,
+        interpret=True, worklist=worklist,
     )
     top, _ = render_image_mesh_pallas(
         mesh, cam, 64, 32, spp=2, max_bounces=3, seed=3,
-        interpret=True, worklist=True, rows=16, row_offset=0,
+        interpret=True, worklist=worklist, rows=16, row_offset=0,
     )
     bot, _ = render_image_mesh_pallas(
         mesh, cam, 64, 32, spp=2, max_bounces=3, seed=3,
-        interpret=True, worklist=True, rows=16, row_offset=16,
+        interpret=True, worklist=worklist, rows=16, row_offset=16,
     )
     np.testing.assert_array_equal(
         np.asarray(full), np.concatenate([np.asarray(top), np.asarray(bot)])
