@@ -120,19 +120,23 @@ class PathTraceRenderer:
             backend = "pallas" if jax.devices()[0].platform != "cpu" else "jnp"
         self.backend = backend
 
-        # NEE is an emissive-sphere feature (SphereScene lamps or emissive
-        # sphere LEAVES of a CompiledTape) on both backends. For the jitted
-        # jnp path the lights are extracted HOST-SIDE here (inside jit the
-        # scene arrays are tracers): lamp positions snapshot the
-        # constructor's scene — so ``animate`` (which could move lamps)
-        # is rejected rather than silently diverging from the pallas
-        # path, which re-extracts (or reads the leaf table) per call.
+        # NEE covers emissive SphereScene lamps, emissive sphere LEAVES of
+        # a CompiledTape, and emissive FACES of a MeshScene (round 3 — the
+        # reference has none of this, SURVEY §2). For the jitted jnp path
+        # the lights are extracted HOST-SIDE here (inside jit the scene
+        # arrays are tracers): lamp positions snapshot the constructor's
+        # scene — so ``animate`` (which could move lamps) is rejected
+        # rather than silently diverging from the pallas path, which
+        # re-extracts (or reads the leaf table) per call.
         nee_lights = None
         if cfg.nee:
-            if not isinstance(scene, (SphereScene, CompiledTape)):
+            if not isinstance(
+                scene, (SphereScene, CompiledTape, MeshScene)
+            ):
                 raise ValueError(
-                    "RenderConfig.nee is for emissive SphereScenes or "
-                    f"CompiledTapes; got {type(scene).__name__}"
+                    "RenderConfig.nee is for emissive SphereScenes, "
+                    f"CompiledTapes, or MeshScenes; got "
+                    f"{type(scene).__name__}"
                 )
             if backend != "pallas":
                 if animate is not None:
@@ -141,16 +145,22 @@ class PathTraceRenderer:
                         "the constructor-time lamp positions; use "
                         "backend='pallas' (re-extracts lights per call)"
                     )
-                from ..render.lights import extract_lights, extract_tape_lights
+                from ..render.lights import (
+                    extract_lights,
+                    extract_mesh_lights,
+                    extract_tape_lights,
+                )
 
                 if isinstance(scene, SphereScene):
                     nee_lights = extract_lights(scene)
+                elif isinstance(scene, MeshScene):
+                    nee_lights = extract_mesh_lights(scene)
                 else:
                     nee_lights = extract_tape_lights(scene)
                 if nee_lights is None:
                     raise ValueError(
                         "RenderConfig.nee but the scene has no emissive "
-                        "spheres"
+                        "lamps"
                     )
 
         def frame(scene, t, sample_base):
@@ -266,5 +276,6 @@ def _render_pallas(scene, camera, cfg: RenderConfig, sample_base,
             scene, camera, cfg.width, cfg.height, spp=cfg.spp,
             max_bounces=cfg.max_bounces, seed=cfg.seed, sky=cfg.sky,
             lens=cfg.lens, sample_offset=sample_base, interpret=interpret,
+            nee=cfg.nee,
         )
     raise TypeError(f"unsupported scene type {type(scene)}")

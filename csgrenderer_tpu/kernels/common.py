@@ -497,6 +497,124 @@ def nee_sample_planes(
     )
 
 
+def nee_sample_tri_planes(
+    light_scal, n_lights, p, n, alb,
+    pix_u, cur_s, b_plane, seed, pdf_b_fn=None,
+):
+    """Triangle-lamp NEE on planes — the kernel twin of
+    render/lights.nee_contribution_tri (area sampling, double-sided
+    lamps), structured exactly like nee_sample_planes.
+
+    ``light_scal``: per-light lists of >= 16 SMEM scalars
+    (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, er, eg, eb,
+    nx, ny, nz, area). Returns (ld(3), tl, w(3), lamp_id, ok) with
+    lamp_id = -2 rows: mesh walks do not track face ids, so the shadow
+    occlusion test degenerates to the pure distance tolerance — exact
+    enough because the sampled point lies ON the lamp face (its own hit
+    lands at ~tl, inside the 1e-4 relative window; bf16 table
+    reconstruction error is ~1e-5 of a cell, well below it)."""
+    px, py, pz = p
+    nx_, ny_, nz_ = n
+    ar, ag, ab = alb
+
+    u0, u1, u2, _ = pcg4d_planes(
+        pix_u, cur_s,
+        b_plane | jnp.uint32(0x80000000),  # decouple from scatter RNG
+        jnp.broadcast_to(seed.astype(jnp.uint32), cur_s.shape),
+    )
+    li = jnp.minimum(
+        (u0 * np.float32(n_lights)).astype(jnp.int32), n_lights - 1
+    )
+    zero = jnp.zeros_like(px)
+    v0x = v0y = v0z = e1x = e1y = e1z = e2x = e2y = e2z = zero
+    er = eg = eb = lnx = lny = lnz = area = zero
+    for i in range(n_lights):
+        s = light_scal[i]
+        pick = li == i
+        v0x = jnp.where(pick, s[0], v0x)
+        v0y = jnp.where(pick, s[1], v0y)
+        v0z = jnp.where(pick, s[2], v0z)
+        e1x = jnp.where(pick, s[3], e1x)
+        e1y = jnp.where(pick, s[4], e1y)
+        e1z = jnp.where(pick, s[5], e1z)
+        e2x = jnp.where(pick, s[6], e2x)
+        e2y = jnp.where(pick, s[7], e2y)
+        e2z = jnp.where(pick, s[8], e2z)
+        er = jnp.where(pick, s[9], er)
+        eg = jnp.where(pick, s[10], eg)
+        eb = jnp.where(pick, s[11], eb)
+        lnx = jnp.where(pick, s[12], lnx)
+        lny = jnp.where(pick, s[13], lny)
+        lnz = jnp.where(pick, s[14], lnz)
+        area = jnp.where(pick, s[15], area)
+
+    # uniform area sample: r = sqrt(u1), barycentrics (1 - r, u2 r)
+    r_s = jnp.sqrt(u1)
+    bu = 1.0 - r_s
+    bv = u2 * r_s
+    qx = v0x + bu * e1x + bv * e2x
+    qy = v0y + bu * e1y + bv * e2y
+    qz = v0z + bu * e1z + bv * e2z
+    tox, toy, toz = qx - px, qy - py, qz - pz
+    dist2 = dot3(tox, toy, toz, tox, toy, toz)
+    tl = jnp.sqrt(jnp.maximum(dist2, jnp.float32(1e-20)))
+    inv_tl = 1.0 / tl
+    ldx, ldy, ldz = tox * inv_tl, toy * inv_tl, toz * inv_tl
+
+    cos = dot3(nx_, ny_, nz_, ldx, ldy, ldz)
+    if pdf_b_fn is None:
+        pdf_b = jnp.maximum(cos, 0.0) * np.float32(1.0 / np.pi)
+    else:
+        pdf_b = pdf_b_fn((ldx, ldy, ldz), cos)
+    cos_l = jnp.abs(dot3(lnx, lny, lnz, ldx, ldy, ldz))
+    ok = (
+        (pdf_b > 0.0) & (cos_l > jnp.float32(1e-6))
+        & (dist2 > jnp.float32(1e-12))
+    )
+    # q = pdf_b / pdf_L, pdf_L = dist^2 / (|cos_l| A L)
+    q = (
+        pdf_b * np.float32(n_lights) * area * cos_l
+        / jnp.maximum(dist2, jnp.float32(1e-20))
+    )
+    scale = jnp.where(ok, q / (1.0 + q), 0.0)
+    lamp_id = zero - 2.0  # never matches id_best: distance rule only
+    return (
+        (ldx, ldy, ldz), tl,
+        (ar * er * scale, ag * eg * scale, ab * eb * scale), lamp_id, ok,
+    )
+
+
+def tri_bsdf_mis_planes(attrs_e1, attrs_e2, d, t_safe, prev_pdf_b,
+                        n_lights):
+    """MIS partner weight for mesh-lamp emission found BY the BSDF
+    sample: the kernel twin of render/lights.bsdf_mis_scale_tri, with
+    the hit face's geometry read from the carried winner attrs.
+
+    ``attrs_e1``/``attrs_e2``: the winner face's edge planes (3 each);
+    ``d``: the ray direction planes (NOT necessarily unit — RTIOW
+    scatters are unnormalized); ``t_safe``: the hit t in units of |d|.
+    With c = cross(e1, e2) (|c| = 2A):  A |cos_l| = |d . c| / (2 |d|)
+    and dist^2 = t^2 |d|^2, so
+        q = prev_pdf_b * L * |d . c| / (2 t^2 |d|^3)."""
+    e1x, e1y, e1z = attrs_e1
+    e2x, e2y, e2z = attrs_e2
+    dx, dy, dz = d
+    cx = e1y * e2z - e1z * e2y
+    cy = e1z * e2x - e1x * e2z
+    cz = e1x * e2y - e1y * e2x
+    dist2 = jnp.maximum(t_safe * t_safe, jnp.float32(1e-20))
+    inv_dl = jax.lax.rsqrt(
+        jnp.maximum(dot3(dx, dy, dz, dx, dy, dz), jnp.float32(1e-20))
+    )
+    q = (
+        prev_pdf_b * np.float32(n_lights)
+        * jnp.abs(dot3(dx, dy, dz, cx, cy, cz)) * np.float32(0.5)
+        * inv_dl * inv_dl * inv_dl
+        / dist2
+    )
+    return q / (q + 1.0)
+
+
 def scatter_pdf_lam_planes(n, d_new):
     """Plane twin of render/lights.scatter_pdf_lambertian: cos/pi of the
     normalized scatter direction (the carried MIS BSDF pdf)."""
@@ -700,11 +818,13 @@ def grid_wavefront(
     ``id_best == lamp_id``, exact) lies strictly before the lamp, and the
     lane resumes its stashed scattered path segment. Lamp emission
     reached BY a lambertian scatter carries the balance-heuristic MIS
-    partner weight (``nee_mis_scale(attrs, o, pdf_b) -> plane``, the
-    kernel twin of render/lights.bsdf_mis_scale; the carried scatter pdf
-    rides the ``prevpdf`` plane) — the same MIS estimator as the
-    brute-path nee_planes, with the shadow test riding the worklist walk
-    instead of a broadcast table pass.
+    partner weight (``nee_mis_scale(attrs, o, pdf_b, d, t_safe) ->
+    plane``, the kernel twin of render/lights.bsdf_mis_scale /
+    bsdf_mis_scale_tri; the carried scatter pdf rides the ``prevpdf``
+    plane; sphere lamps read the lamp from attrs + o, triangle lamps
+    derive it from the winner edges + d + the hit t) — the same MIS
+    estimator as the brute-path nee_planes, with the shadow test riding
+    the worklist walk instead of a broadcast table pass.
     """
     shape = local_pix.shape
     zero = jnp.zeros(shape, jnp.float32)
@@ -844,7 +964,7 @@ def grid_wavefront(
             # pairable scatter carries the MIS partner weight (b == 0
             # camera rays pass emission through unweighted).
             w_b = nee_mis_scale(
-                attrs, (ox, oy, oz), st["prevpdf"]
+                attrs, (ox, oy, oz), st["prevpdf"], (dx, dy, dz), t_safe
             )
             emit_scale = jnp.where(
                 (kind == 4.0) & (st["prevpdf"] > 0.0) & (b_ctr > 0),

@@ -571,7 +571,7 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
                         pdf_b_fn=pdf_b_fn,
                     )
 
-                def nee_mis_scale(attrs_, o_, pdf_b):
+                def nee_mis_scale(attrs_, o_, pdf_b, _d=None, _t=None):
                     # ATTR_NAMES order: cx, cy, cz, inv_r, ...
                     return bsdf_mis_scale_planes(
                         n_lights, (attrs_[0], attrs_[1], attrs_[2]),

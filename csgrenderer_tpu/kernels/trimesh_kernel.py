@@ -105,19 +105,23 @@ def pack_mesh_globals(glob_mesh: MeshScene, glob_mat: np.ndarray):
 
 
 def _make_kernel(width, height, spp, max_bounces, lens, sky, f_pad, n_pix,
-                 grid_static=None, n_globals=0, mat_pad=0):
+                 grid_static=None, n_globals=0, mat_pad=0, n_lights=0):
     inv_w = np.float32(1.0 / width)
     inv_h = np.float32(1.0 / height)
     eps = np.float32(1e-3)
 
     def kernel(cam_ref, meta_ref, *rest):
+        lights_ref = None
         if grid_static is not None:
             n_tiers = len(grid_static.tiers)
             glob_ref, dense_ref = rest[0], rest[1]
             tier_refs = rest[2 : 2 + n_tiers]
-            (mats_ref, out_r_ref, out_g_ref, out_b_ref, rays_ref) = rest[
-                2 + n_tiers :
-            ]
+            rest2 = rest[2 + n_tiers :]
+            mats_ref = rest2[0]
+            if n_lights:
+                lights_ref = rest2[1]
+                rest2 = rest2[1:]
+            (out_r_ref, out_g_ref, out_b_ref, rays_ref) = rest2[1:]
         else:
             (cols_ref, attr_ref,
              out_r_ref, out_g_ref, out_b_ref, rays_ref) = rest
@@ -336,6 +340,58 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, f_pad, n_pix,
                 )
                 return n, front, kind, param, (ar, ag, ab)
 
+            nee_sample = None
+            nee_mis_scale = None
+            if n_lights:
+                # emissive-FACE lamps: area-sampled NEE + MIS, the mesh
+                # twin of the megakernel's sphere-lamp machinery. Shadow
+                # rays ride the same tri walk (t_out clamped to the lamp
+                # distance by grid_wavefront); lamp ids are -2 (the mesh
+                # walk carries no face ids), so occlusion is the pure
+                # relative-distance rule — see nee_sample_tri_planes.
+                from .common import (
+                    nee_sample_tri_planes,
+                    scatter_pdf_metal_planes,
+                    tri_bsdf_mis_planes,
+                )
+
+                def nee_sample(p, nrm, alb_, d_in, kind_, param_,
+                               pix_u_cur, cur_s, b_plane):
+                    light_scal = [
+                        [lights_ref[i, j] for j in range(16)]
+                        for i in range(n_lights)
+                    ]
+
+                    def pdf_b_fn(ld, cos):
+                        pdf_lam = (
+                            jnp.maximum(cos, 0.0) * np.float32(1.0 / np.pi)
+                        )
+                        pdf_met = scatter_pdf_metal_planes(
+                            d_in, nrm, param_, ld
+                        )
+                        pdf_met = jnp.where(cos > 0.0, pdf_met, 0.0)
+                        glossy_ = (kind_ == 2.0) & (
+                            param_ > jnp.float32(1e-4)
+                        )
+                        return jnp.where(
+                            kind_ == 1.0, pdf_lam,
+                            jnp.where(glossy_, pdf_met, 0.0),
+                        )
+
+                    return nee_sample_tri_planes(
+                        light_scal, n_lights, p, nrm, alb_,
+                        pix_u_cur, cur_s, b_plane, seed,
+                        pdf_b_fn=pdf_b_fn,
+                    )
+
+                def nee_mis_scale(attrs_, o_, pdf_b, d_, t_safe_):
+                    # winner attrs: e1(3), e2(3), mat id
+                    return tri_bsdf_mis_planes(
+                        (attrs_[0], attrs_[1], attrs_[2]),
+                        (attrs_[3], attrs_[4], attrs_[5]),
+                        d_, t_safe_, pdf_b, n_lights,
+                    )
+
             zero = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.float32)
             zero_i = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32)
             walk0 = (zero_i, zero_i, zero_i, zero, zero, zero, zero)
@@ -351,6 +407,9 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, f_pad, n_pix,
                 hit_surface=hit_surface, n_attrs=N_ATTRS,
                 walk0=walk0,
                 steps_per_iter=int(_os.environ.get("CSGR_MESH_STEPS", "1")),
+                nee_sample=nee_sample,
+                nee_mis_scale=nee_mis_scale,
+                walk_t_out_index=6,  # (ix, iy, iz, tmx, tmy, tmz, t_out)
             )
         out_r_ref[:] = state["rad"][0]
         out_g_ref[:] = state["rad"][1]
@@ -375,13 +434,14 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, f_pad, n_pix,
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "max_bounces", "lens", "sky", "interpret",
-        "rows", "grid_static", "n_globals",
+        "rows", "grid_static", "n_globals", "n_lights",
     ),
 )
 def _render_mesh_packed(
     packed, cam_row, width, height, spp, max_bounces, seed, sample_offset,
     lens, sky, interpret, rows, row_offset,
-    grid_static=None, n_globals=0, grid_tables=None,
+    grid_static=None, n_globals=0, grid_tables=None, lights_tab=None,
+    n_lights=0,
 ):
     n_pix = width * rows
     n_tiles = pl.cdiv(n_pix, TILE)
@@ -399,6 +459,7 @@ def _render_mesh_packed(
     kernel = _make_kernel(
         width, height, spp, max_bounces, lens, sky, f_pad, n_pix,
         grid_static=grid_static, n_globals=n_globals, mat_pad=mat_pad,
+        n_lights=n_lights,
     )
     plane = jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, TILE_LANES), jnp.float32)
     iplane = jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, TILE_LANES), jnp.int32)
@@ -423,6 +484,9 @@ def _render_mesh_packed(
             pl.BlockSpec(memory_space=pltpu.VMEM)
             for _ in range(len(grid_tables))
         ]
+        if n_lights:
+            inputs.append(lights_tab)
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     r, g, b, rays = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -467,6 +531,7 @@ def render_image_mesh_pallas(
     row_offset=0,
     worklist: bool | str = "auto",
     gather_pages: int = 2,
+    nee: bool = False,
 ):
     """Drop-in for ``integrator.render_image`` on MeshScene.
 
@@ -476,6 +541,9 @@ def render_image_mesh_pallas(
     single-tier gather (tri_worklist stream mode) regardless of size.
     ``gather_pages``: stream-mode pages served per row group per
     iteration (tri_worklist.TriGridStatic.gather_pages).
+    ``nee``: area-sampled next-event estimation on the mesh's emissive
+    faces (render/lights.TriLights), MIS-paired like the sphere paths;
+    grid mode only (the brute path has no shadow-walk machinery).
     """
     if not jitter:
         raise NotImplementedError("mesh kernel always jitters")
@@ -515,14 +583,42 @@ def render_image_mesh_pallas(
                 packed = pack_mesh(mesh)
         else:
             packed = pack_mesh(mesh)
-        return packed, grid_static, grid_tables, n_globals
+        lights_tab = None
+        n_lights = 0
+        if nee:
+            if grid_static is None:
+                raise NotImplementedError(
+                    "nee needs the grid worklist path (shadow rays ride "
+                    "the tri walk); this mesh is not griddable"
+                )
+            from ..render.lights import extract_mesh_lights
+
+            lights = extract_mesh_lights(mesh)
+            if lights is None:
+                raise ValueError(
+                    "nee=True but the mesh has no emissive faces"
+                )
+            n_lights = lights.num_lights
+            tab = np.zeros((n_lights, 16), np.float32)
+            tab[:, 0:3] = lights.v0
+            tab[:, 3:6] = lights.e1
+            tab[:, 6:9] = lights.e2
+            tab[:, 9:12] = lights.emit
+            tab[:, 12:15] = lights.normal
+            tab[:, 15] = lights.area
+            lights_tab = jnp.asarray(tab)
+        return packed, grid_static, grid_tables, n_globals, lights_tab, \
+            n_lights
 
     from .common import device_cache
     from .megakernel import _CAM_CACHE
 
-    packed, grid_static, grid_tables, n_globals = device_cache(
-        _MESH_PREP_CACHE, (id(mesh.v0), str(worklist), gather_pages),
-        mesh.v0, _prepare
+    packed, grid_static, grid_tables, n_globals, lights_tab, n_lights = (
+        device_cache(
+            _MESH_PREP_CACHE,
+            (id(mesh.v0), str(worklist), gather_pages, nee),
+            mesh.v0, _prepare,
+        )
     )
     cam_row = device_cache(
         _CAM_CACHE, id(camera.origin), camera.origin,
@@ -535,5 +631,5 @@ def render_image_mesh_pallas(
         height if rows is None else rows,
         jnp.asarray(row_offset, jnp.int32),
         grid_static=grid_static, n_globals=n_globals,
-        grid_tables=grid_tables,
+        grid_tables=grid_tables, lights_tab=lights_tab, n_lights=n_lights,
     )

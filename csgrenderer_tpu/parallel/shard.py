@@ -129,7 +129,8 @@ def render_scene_sharded(
     interpret=True).
 
     ``backend``: "pallas" | "jnp" | "auto" (pallas off-CPU). ``nee``:
-    next-event estimation toward emissive spheres (SphereScene only) —
+    next-event estimation toward the scene's lamps (emissive spheres of
+    a SphereScene/CompiledTape, emissive faces of a MeshScene) —
     sharding-invariant like everything else (NEE RNG is keyed by global
     pixel/sample counters).
     """
@@ -141,9 +142,12 @@ def render_scene_sharded(
 
     if backend == "auto":
         backend = "pallas" if _jax.devices()[0].platform != "cpu" else "jnp"
-    if nee and not isinstance(scene, (SphereScene, CompiledTape)):
+    if nee and not isinstance(
+        scene, (SphereScene, CompiledTape, MeshScene)
+    ):
         raise NotImplementedError(
-            "nee is for emissive SphereScenes or CompiledTapes"
+            "nee is for emissive SphereScenes, CompiledTapes, or "
+            "MeshScenes"
         )
     if backend == "jnp":
         if nee:
@@ -202,7 +206,7 @@ def render_scene_sharded(
             from ..kernels import render_image_mesh_pallas
 
             radiance, rays = render_image_mesh_pallas(
-                scene, camera, width, height, **kwargs
+                scene, camera, width, height, nee=nee, **kwargs
             )
         else:
             raise TypeError(f"unsupported scene type {type(scene)}")

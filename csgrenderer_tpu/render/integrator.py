@@ -203,9 +203,9 @@ def trace_paths(
         else:
             # MIS partner weight on BSDF-found lamp emission (kind 4 only;
             # the normal-map debug "emission" is not a light)
-            from .lights import bsdf_mis_scale
+            from .lights import bsdf_mis_scale_any
 
-            w_b = bsdf_mis_scale(lights, s["o"], p_hit, s["prev_pdf_b"])
+            w_b = bsdf_mis_scale_any(lights, s["o"], p_hit, s["prev_pdf_b"])
             emit_scale = jnp.where(
                 (h.mat_kind == 4) & (s["prev_pdf_b"] > 0.0), w_b, 1.0
             )
@@ -221,7 +221,7 @@ def trace_paths(
         # cannot sample it, BSDF-found emission stays unweighted
         is_glossy = (h.mat_kind == 2) & (h.mat_param > 1e-4)
         if lights is not None:
-            from .lights import nee_contribution, scatter_pdf_metal
+            from .lights import nee_contribution_any, scatter_pdf_metal
 
             ul = uniform4(
                 pixel_id,
@@ -240,7 +240,7 @@ def trace_paths(
                     is_lam, pdf_lam, jnp.where(is_glossy, pdf_met, 0.0)
                 )
 
-            direct = nee_contribution(
+            direct = nee_contribution_any(
                 hit_fn, p_hit, h.normal, h.albedo, lights, ul,
                 pdf_b_fn=pdf_b_fn,
             )

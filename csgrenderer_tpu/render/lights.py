@@ -275,3 +275,156 @@ def bsdf_mis_scale(lights: SphereLights, o_prev, p_hit, prev_pdf_b):
     )
     q = prev_pdf_b * jnp.float32(nl) * ip
     return q / (q + 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Triangle lamps (emissive mesh faces) — the MeshScene twin of the sphere
+# machinery above. Reference point: the reference has no mesh support at
+# all (SURVEY §2); this extends the round-2 NEE/MIS design to the mesh
+# subsystem so emissive-lit mesh scenes get the same variance behavior as
+# sphere/CSG scenes.
+# ---------------------------------------------------------------------------
+
+
+class TriLights(NamedTuple):
+    """Struct-of-arrays emissive-triangle list (host-extracted).
+
+    ``normal``/``area`` are precomputed from (e1, e2) so samplers and the
+    kernels' SMEM scalars never re-derive them: normal = unit cross(e1,
+    e2), area = |cross| / 2. Lamps are DOUBLE-SIDED (|cos| in the pdf) —
+    matched exactly by the kernel twin and the emission shading."""
+
+    v0: Array  # [L, 3]
+    e1: Array  # [L, 3]
+    e2: Array  # [L, 3]
+    emit: Array  # [L, 3] radiance
+    normal: Array  # [L, 3] unit geometric normal
+    area: Array  # [L]
+
+    @property
+    def num_lights(self) -> int:
+        return self.v0.shape[0]
+
+
+def extract_mesh_lights(mesh, return_ids: bool = False):
+    """Emissive faces of a MeshScene as TriLights, or None if none.
+
+    Host-side numpy, like extract_lights. ``return_ids``: also return
+    the lamp faces' indices in ``mesh``'s face ordering."""
+    kind = np.asarray(mesh.mat_kind)
+    ids = np.where(kind == 4)[0]
+    if ids.size == 0:
+        return (None, ids) if return_ids else None
+    e1 = np.asarray(mesh.e1, np.float32)[ids]
+    e2 = np.asarray(mesh.e2, np.float32)[ids]
+    cr = np.cross(e1.astype(np.float64), e2.astype(np.float64))
+    twoa = np.sqrt((cr * cr).sum(axis=-1))
+    lights = TriLights(
+        v0=np.asarray(mesh.v0, np.float32)[ids],
+        e1=e1,
+        e2=e2,
+        emit=np.asarray(mesh.albedo, np.float32)[ids],
+        normal=(cr / np.maximum(twoa, 1e-30)[:, None]).astype(np.float32),
+        area=(0.5 * twoa).astype(np.float32),
+    )
+    return (lights, ids) if return_ids else lights
+
+
+def sample_triangle(v0, e1, e2, u1, u2):
+    """Uniform area sample of the triangle (v0, v0+e1, v0+e2):
+    r = sqrt(u1), barycentrics (1-r, u2 r). Returns [..., 3] points."""
+    r = jnp.sqrt(u1)
+    bu = (1.0 - r)[..., None]
+    bv = (u2 * r)[..., None]
+    return v0 + bu * e1 + bv * e2
+
+
+def nee_contribution_tri(
+    hit_fn, p, n, albedo, lights: TriLights, u, pdf_b_fn=None
+):
+    """MIS-weighted direct light from triangle lamps (area sampling).
+
+    The exact analog of nee_contribution: the light strategy's
+    solid-angle density at the sampled direction is
+        pdf_L = dist^2 / (|cos_l| * A * L)
+    so with the procedural-BRDF fold (BRDF * cos_v = albedo * pdf_b) the
+    weighted contribution is  albedo * L_e * q / (1 + q),
+    q = pdf_b / pdf_L. Lamps are double-sided (|cos_l|). Occlusion uses
+    the same relative tolerance as the sphere path (the sampled point
+    lies ON the lamp face, so its own hit lands at ~t_l and never
+    occludes)."""
+    nl = lights.num_lights
+    li = jnp.minimum((u[..., 0] * nl).astype(jnp.int32), nl - 1)
+    v0 = jnp.asarray(lights.v0)[li]
+    e1 = jnp.asarray(lights.e1)[li]
+    e2 = jnp.asarray(lights.e2)[li]
+    e = jnp.asarray(lights.emit)[li]
+    n_l = jnp.asarray(lights.normal)[li]
+    area = jnp.asarray(lights.area)[li]
+
+    q_pt = sample_triangle(v0, e1, e2, u[..., 1], u[..., 2])
+    to = q_pt - p
+    dist2 = vec.dot(to, to)
+    t_l = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+    d = to / t_l[..., None]
+    cos_v = vec.dot(n, d)
+    if pdf_b_fn is None:
+        pdf_b = jnp.maximum(cos_v, 0.0) * jnp.float32(1.0 / np.pi)
+    else:
+        pdf_b = pdf_b_fn(d, cos_v)
+    cos_l = jnp.abs(vec.dot(n_l, d))
+    sh = hit_fn(p, d)
+    occluded = sh.hit & (sh.t < t_l * (1.0 - 1e-4))
+    ok = (
+        (pdf_b > 0.0) & (cos_l > jnp.float32(1e-6))
+        & (dist2 > jnp.float32(1e-12)) & ~occluded
+    )
+    # q = pdf_b / pdf_L = pdf_b * L * A * |cos_l| / dist^2
+    q = pdf_b * jnp.float32(nl) * area * cos_l / jnp.maximum(dist2, 1e-20)
+    scale = jnp.where(ok, q / (1.0 + q), 0.0)
+    return albedo * e * scale[..., None]
+
+
+def bsdf_mis_scale_tri(lights: TriLights, o_prev, p_hit, prev_pdf_b):
+    """MIS weight for triangle-lamp emission found BY the BSDF sample.
+
+    The lamp containing ``p_hit`` is identified by plane distance +
+    barycentric containment over the (small) lamp table; its area pdf
+    from ``o_prev`` gives  w_B = q / (q + 1),
+    q = prev_pdf_b * L * A * |cos_l| / dist^2  (= pdf_b / pdf_L)."""
+    nl = lights.num_lights
+    v0a = jnp.asarray(lights.v0)
+    n_a = jnp.asarray(lights.normal)
+    # lamp containing p_hit: argmin |signed plane distance|
+    dvec = p_hit[..., None, :] - v0a  # [..., L, 3]
+    pd = jnp.abs(jnp.sum(dvec * n_a, axis=-1))  # [..., L]
+    li = jnp.argmin(pd, axis=-1)
+    n_l = n_a[li]
+    area = jnp.asarray(lights.area)[li]
+    to = p_hit - o_prev
+    dist2 = vec.dot(to, to)
+    t_l = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+    d = to / t_l[..., None]
+    cos_l = jnp.abs(vec.dot(n_l, d))
+    q = (
+        prev_pdf_b * jnp.float32(nl) * area * cos_l
+        / jnp.maximum(dist2, 1e-20)
+    )
+    return q / (q + 1.0)
+
+
+def nee_contribution_any(hit_fn, p, n, albedo, lights, u, pdf_b_fn=None):
+    """Type dispatch: SphereLights -> cone sampling, TriLights -> area."""
+    if isinstance(lights, TriLights):
+        return nee_contribution_tri(
+            hit_fn, p, n, albedo, lights, u, pdf_b_fn=pdf_b_fn
+        )
+    return nee_contribution(hit_fn, p, n, albedo, lights, u,
+                            pdf_b_fn=pdf_b_fn)
+
+
+def bsdf_mis_scale_any(lights, o_prev, p_hit, prev_pdf_b):
+    """Type dispatch twin of nee_contribution_any."""
+    if isinstance(lights, TriLights):
+        return bsdf_mis_scale_tri(lights, o_prev, p_hit, prev_pdf_b)
+    return bsdf_mis_scale(lights, o_prev, p_hit, prev_pdf_b)

@@ -583,3 +583,154 @@ def test_glossy_mis_unbiased_and_lower_variance():
         scene.nearest_hit, CAM, w, h, spp=spp, max_bounces=4, seed=3,
         sky="black", lights=lights)[0]) - conv) ** 2)))
     assert e_nee < 0.7 * e_plain, (e_nee, e_plain)
+
+
+# -- mesh NEE (round 3: emissive-face lamps, area sampling) ------------------
+
+
+def small_mesh_night():
+    """Emissive-quad lamp over lambertian/metal icospheres, black sky."""
+    from csgrenderer_tpu.render.trimesh import concat_meshes, icosphere, quad
+    from csgrenderer_tpu.scene import Material
+
+    return concat_meshes(
+        icosphere((-0.9, 0.7, -3.0), 0.7,
+                  Material.lambertian((0.6, 0.3, 0.3)), 2),
+        icosphere((1.0, 0.6, -2.7), 0.6,
+                  Material.metal((0.8, 0.7, 0.5), 0.2), 2),
+        quad((-0.6, 2.4, -3.2), (0.6, 2.4, -3.2), (0.6, 2.4, -2.0),
+             (-0.6, 2.4, -2.0), Material.emissive((14.0, 12.0, 9.0))),
+        quad((-6, 0, -9), (6, 0, -9), (6, 0, 2), (-6, 0, 2),
+             Material.lambertian((0.5, 0.5, 0.5))),
+    )
+
+
+MESH_CAM = Camera.look_at(
+    (0, 1.6, 2.2), (0, 0.7, -2.6), vfov_degrees=45.0, aspect_ratio=2.0
+)
+
+
+def test_extract_mesh_lights():
+    from csgrenderer_tpu.render.lights import extract_mesh_lights
+
+    mesh = small_mesh_night()
+    lights, ids = extract_mesh_lights(mesh, return_ids=True)
+    assert lights.num_lights == 2  # the lamp quad's two triangles
+    assert ids.shape == (2,)
+    # normals unit, areas positive and summing to the quad's area
+    n = np.asarray(lights.normal)
+    np.testing.assert_allclose((n * n).sum(axis=1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(float(np.asarray(lights.area).sum()),
+                               1.2 * 1.2, rtol=1e-5)
+    from csgrenderer_tpu.render.trimesh import icosphere
+    from csgrenderer_tpu.scene import Material
+
+    none = extract_mesh_lights(
+        icosphere((0, 0, -3), 1.0, Material.lambertian((0.5, 0.5, 0.5)), 1)
+    )
+    assert none is None
+
+
+def test_mesh_kernel_nee_matches_jnp():
+    """The mesh kernel's NEE shares RNG counters and estimator math with
+    the jnp reference (round-3 mesh-citizenship follow-through)."""
+    from csgrenderer_tpu.kernels import render_image_mesh_pallas
+    from csgrenderer_tpu.render.lights import extract_mesh_lights
+
+    mesh = small_mesh_night()
+    lights = extract_mesh_lights(mesh)
+    ref, rrays = render_image(
+        mesh.nearest_hit, MESH_CAM, 48, 24, spp=3, max_bounces=4, seed=7,
+        sky="black", lights=lights,
+    )
+    img, krays = render_image_mesh_pallas(
+        mesh, MESH_CAM, 48, 24, spp=3, max_bounces=4, seed=7, sky="black",
+        interpret=True, worklist=True, nee=True,
+    )
+    ref = np.asarray(ref)
+    img = np.asarray(img)
+    bad = (np.abs(img - ref).max(axis=-1) > 0.05).mean()
+    assert bad <= 0.01, f"{bad:.3%} divergent"
+    assert int(krays) == int(rrays)
+
+
+def test_mesh_nee_reduces_variance():
+    """Equal-spp RMSE vs a converged reference must drop with NEE."""
+    from csgrenderer_tpu.render.lights import extract_mesh_lights
+
+    mesh = small_mesh_night()
+    lights = extract_mesh_lights(mesh)
+    w, h, spp = 32, 16, 4
+    conv, _ = render_image(
+        mesh.nearest_hit, MESH_CAM, w, h, spp=256, max_bounces=4, seed=11,
+        sky="black", lights=lights,
+    )
+    plain, _ = render_image(
+        mesh.nearest_hit, MESH_CAM, w, h, spp=spp, max_bounces=4, seed=3,
+        sky="black",
+    )
+    nee, _ = render_image(
+        mesh.nearest_hit, MESH_CAM, w, h, spp=spp, max_bounces=4, seed=3,
+        sky="black", lights=lights,
+    )
+    conv = np.asarray(conv)
+    e_plain = float(np.sqrt(np.mean((np.asarray(plain) - conv) ** 2)))
+    e_nee = float(np.sqrt(np.mean((np.asarray(nee) - conv) ** 2)))
+    assert e_nee < e_plain, (e_nee, e_plain)
+
+
+def test_sharded_mesh_nee_matches_single_device():
+    from csgrenderer_tpu.kernels import render_image_mesh_pallas
+    from csgrenderer_tpu.parallel import make_mesh, render_scene_sharded
+
+    mesh = small_mesh_night()
+    single, srays = render_image_mesh_pallas(
+        mesh, MESH_CAM, 32, 16, spp=2, max_bounces=3, seed=7, sky="black",
+        interpret=True, worklist=True, nee=True,
+    )
+    dmesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    img, rays = render_scene_sharded(
+        mesh, MESH_CAM, 32, 16, dmesh, spp=2, max_bounces=3, seed=7,
+        sky="black", backend="pallas", interpret=True, nee=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(img), np.asarray(single), atol=1e-5
+    )
+    assert int(rays) == int(srays)
+
+
+def test_mesh_nee_renderer_config():
+    """PathTraceRenderer accepts nee for MeshScene on both backends; a
+    lamp-less mesh and the brute path fail loudly."""
+    from csgrenderer_tpu.app import PathTraceRenderer
+    from csgrenderer_tpu.utils.config import RenderConfig
+
+    mesh = small_mesh_night()
+    cfg = RenderConfig(width=32, height=16, spp=1, max_bounces=3, seed=1,
+                       sky="black", nee=True)
+    r = PathTraceRenderer(mesh, MESH_CAM, cfg, backend="jnp")
+    f = np.asarray(r.draw_frame(0.0))
+    assert f.shape == (16, 32, 3)
+    rp = PathTraceRenderer(mesh, MESH_CAM, cfg, backend="pallas",
+                           interpret=True)
+    fp = np.asarray(rp.draw_frame(0.0))
+    assert fp.shape == (16, 32, 3)
+
+    from csgrenderer_tpu.render.trimesh import icosphere
+    from csgrenderer_tpu.scene import Material
+
+    with pytest.raises(ValueError, match="emissive"):
+        PathTraceRenderer(
+            icosphere((0, 0.7, -3), 0.7,
+                      Material.lambertian((0.5, 0.5, 0.5)), 3),
+            MESH_CAM, cfg, backend="jnp",
+        )
+    # brute path (ungriddable mesh) + nee -> loud NotImplementedError
+    from csgrenderer_tpu.kernels import render_image_mesh_pallas
+
+    with pytest.raises(NotImplementedError, match="grid"):
+        render_image_mesh_pallas(
+            icosphere((0, 0.7, -3), 0.7, Material.emissive((5, 5, 5)), 1),
+            MESH_CAM, 16, 8, spp=1, interpret=True, worklist=False,
+            nee=True,
+        )
