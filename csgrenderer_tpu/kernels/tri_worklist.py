@@ -123,6 +123,13 @@ class TriGridStatic(NamedTuple):
     # Gather cost per trip is O(1) in mesh size — the 100k-face scaling
     # fix (doc/PERF_NOTES).
     gather_pages: int = 0
+    # phase B (round 3b): chunk table RESIDES IN HBM (pallas memory
+    # space ANY); the service DMAs each served page's [rr_pad, 128] slab
+    # into a VMEM scratch (k slabs, one DMA semaphore) before the dot.
+    # Lifts the VMEM table budget entirely: capacity becomes HBM-bound
+    # (hundreds of MB), the per-trip cost gains only the k page-copy
+    # latencies (~63 KB each, started together and overlapped).
+    hbm_table: int = 0
 
 
 class TriGridPack(NamedTuple):
@@ -434,6 +441,7 @@ def pack_tri_grid(
         max_compact = max(max_compact, 32768)
     best_t = None  # tiered whole-table gather plan
     best_s = None  # stream (single Morton tier, paged gather) plan
+    best_h = None  # stream plan with HBM-resident table (phase B)
     for n_side in (3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32, 40, 48, 64):
         have = (best_t is not None) and (best_s is not None or not stream_ok)
         if have and n_side > 24:
@@ -491,6 +499,7 @@ def pack_tri_grid(
             # (phase B: HBM-resident tables streamed by DMA would lift
             # this).
             fits = False
+            hbm = False
             for q_s in (_STREAM_Q2, _STREAM_Q):
                 chunks_per_cell = np.ceil(occs / q_s)
                 n_chunks = int(chunks_per_cell.sum())
@@ -502,6 +511,15 @@ def pack_tri_grid(
                 )
                 if fits:
                     break
+            if not fits:
+                # phase B: table too big for VMEM -> HBM residency with
+                # per-trip page DMA. Only the chunk ID SPACE still
+                # binds (compact ids must stay below PAD_CI).
+                q_s = _STREAM_Q2
+                chunks_per_cell = np.ceil(occs / q_s)
+                n_chunks = int(chunks_per_cell.sum())
+                fits = n_chunks < int(PAD_CI) - 128
+                hbm = fits
             if fits:
                 # the service consumes ONE chunk per trip. The fixed
                 # term is CALIBRATED from the measured census
@@ -524,8 +542,18 @@ def pack_tri_grid(
                     (128.0 * blocks + fixed) * it_factor * per_cross,
                     -cell, dims, g0, cell, lists, set(), (q_s,),
                 )
-                if best_s is None or cand[:2] < best_s[:2]:
+                if hbm:
+                    if best_h is None or cand[:2] < best_h[:2]:
+                        best_h = cand
+                elif best_s is None or cand[:2] < best_s[:2]:
                     best_s = cand
+    hbm_chosen = False
+    if best_s is None and best_h is not None and stream is not False:
+        # VMEM-fitting stream plan impossible: the HBM-resident table is
+        # the only stream option (and, past the tiered capacity wall,
+        # the only plan at all)
+        best_s = best_h
+        hbm_chosen = True
     if stream is True:
         mode, best = "stream", best_s
     elif stream is False or best_s is None:
@@ -539,8 +567,10 @@ def pack_tri_grid(
         # cannot fit/spill, because page service pays deferral or
         # inner-loop overhead per voxel). Stream is the CAPACITY path.
         mode, best = "tiered", best_t
+        hbm_chosen = False
     if best is None:
         return _memo(None)
+    hbm_chosen = hbm_chosen and mode == "stream"
 
     _, _, dims, g0, cell, lists, spilled, bounds = best
     nxc, nyc, nzc = dims
@@ -715,6 +745,7 @@ def pack_tri_grid(
         x0=float(g0[0]), y0=float(g0[1]), z0=float(g0[2]), cell=float(cell),
         n_pages=n_pages,
         gather_pages=gather_pages if mode == "stream" else 0,
+        hbm_table=int(hbm_chosen),
     )
     # global-face material ids (for the shared shade-time mat gather)
     glob_mat = face_mat[globals_idx].astype(np.float32)
@@ -965,7 +996,8 @@ def _mt_slots(got, m, row_ctx, eps):
     return tc_min, a_tier
 
 
-def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps):
+def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps,
+                    scratch=None, sem=None):
     """Chained demand-paged gather (stream mode): resolve EVERY lane's
     voxel in full. An inner while loop serves, per row group per trip,
     the MINIMUM pending 128-column table page (one dynamic [*,128] slab
@@ -999,6 +1031,12 @@ def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps):
     (zero one-hot). BLOCK pixel assignment (trimesh_kernel.slot_pixel)
     keeps a tile's rays in few Morton-ordered pages, which is what makes
     tile-global page voting converge in ~1-2 trips.
+
+    ``gs.hbm_table`` (phase B): ``tab`` is an HBM (ANY-space) ref; each
+    trip DMAs the k served slabs into ``scratch`` (VMEM, [k*rr_pad,
+    128]) through ``sem`` — all k copies start before the first wait, so
+    their latencies overlap. VMEM then only ever holds k slabs: table
+    capacity is HBM-bound (a 245k-face mesh's 21 MB table streams fine).
     """
     (q_s, w_s, _), = gs.tiers
     k_pages = max(1, int(gs.gather_pages))
@@ -1036,7 +1074,7 @@ def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps):
         pg = jnp.where(ndb, jnp.floor(cur * inv128), pbig)  # [8,128]
         p_js = []
         locals_ = []
-        slabs = []
+        p_is = []
         rem = pg
         for _ in range(k_pages):
             p_j = jnp.min(rem)  # 0-d
@@ -1048,9 +1086,33 @@ def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps):
                 ndb & (pg == p_j),
                 cur - p_j * np.float32(128.0), np.float32(-1.0),
             ))
-            p_i = jnp.minimum(p_j, pbig - 1.0).astype(jnp.int32)
-            slabs.append(_page_slab(tab, p_i, rr_pad))
+            p_is.append(
+                jnp.minimum(p_j, pbig - 1.0).astype(jnp.int32)
+            )
             p_js.append(p_j)
+        if gs.hbm_table and scratch is not None:
+            # phase B: DMA the k slabs HBM -> VMEM scratch; start every
+            # copy before the first wait so the latencies overlap
+            from jax.experimental import pallas as pl
+            from jax.experimental.pallas import tpu as pltpu
+
+            copies = []
+            for j, p_i in enumerate(p_is):
+                cp = pltpu.make_async_copy(
+                    tab.at[pl.ds(p_i * rr_pad, rr_pad), :],
+                    scratch.at[j * rr_pad : (j + 1) * rr_pad, :],
+                    sem,
+                )
+                cp.start()
+                copies.append(cp)
+            for cp in copies:
+                cp.wait()
+            slabs = [
+                scratch[j * rr_pad : (j + 1) * rr_pad, :]
+                for j in range(k_pages)
+            ]
+        else:
+            slabs = [_page_slab(tab, p_i, rr_pad) for p_i in p_is]
         # {p_1..p_k} are exactly the k smallest distinct pending pages,
         # so a pending lane is served this trip iff pg <= p_k
         on_p = ndb & (pg <= p_js[-1])
@@ -1118,7 +1180,7 @@ def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps):
 
 
 def tri_grid_step(gs: TriGridStatic, dense_tab, tri_tabs, state, o, d,
-                  skip_empty: int = 2):
+                  skip_empty: int = 2, stream_scratch=None):
     """ONE DDA step for every lane: compact lookup (+ cheap empty-voxel
     skips) -> one-hot face gather (whole-tier tables, or the stream
     mode's chained page service) -> Moller-Trumbore over the slots ->
@@ -1183,8 +1245,10 @@ def tri_grid_step(gs: TriGridStatic, dense_tab, tri_tabs, state, o, d,
         t_cand = tox * 0.0 + big
         attr_pl = [tox * 0.0 for _ in range(N_ATTRS)]
     elif stream:
+        scr, sem = stream_scratch if stream_scratch else (None, None)
         t_cand, attr_pl, trips = _stream_service(
-            gs, tri_tabs[0], ci, d, (tox, toy, toz), eps
+            gs, tri_tabs[0], ci, d, (tox, toy, toz), eps,
+            scratch=scr, sem=sem,
         )
         if _os.environ.get("CSGR_DEBUG_TRIPS"):
             # census only (corrupts id_best): accumulate service-loop

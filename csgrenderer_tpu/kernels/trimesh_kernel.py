@@ -49,6 +49,7 @@ from .common import (
 from .megakernel import pack_camera
 from .tri_worklist import (
     N_ATTRS,
+    N_SECTIONS,
     pack_tri_grid,
     tri_grid_setup,
     tri_grid_step,
@@ -112,6 +113,7 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, f_pad, n_pix,
 
     def kernel(cam_ref, meta_ref, *rest):
         lights_ref = None
+        stream_scratch = None
         if grid_static is not None:
             n_tiers = len(grid_static.tiers)
             glob_ref, dense_ref = rest[0], rest[1]
@@ -121,6 +123,11 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, f_pad, n_pix,
             if n_lights:
                 lights_ref = rest2[1]
                 rest2 = rest2[1:]
+            if grid_static.hbm_table:
+                # trailing scratch args (phase B): VMEM slab scratch +
+                # DMA semaphore for the HBM chunk-table page copies
+                stream_scratch = (rest2[-2], rest2[-1])
+                rest2 = rest2[:-2]
             (out_r_ref, out_g_ref, out_b_ref, rays_ref) = rest2[1:]
         else:
             (cols_ref, attr_ref,
@@ -291,14 +298,15 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, f_pad, n_pix,
 
             def grid_step_fn(ray_ctx, state, o, d):
                 # stream mode passes the tier REF itself: the step slices
-                # [*, 128] page slabs out of it (pl.ds) instead of
-                # loading the whole table
+                # [*, 128] page slabs out of it (pl.ds), or DMAs them
+                # from HBM (phase B), instead of loading the whole table
                 tabs = (
                     tuple(tier_refs) if stream_mode
                     else tuple(r[:] for r in tier_refs)
                 )
                 return tri_grid_step(
                     grid_static, dense_ref[:], tabs, state, o, d,
+                    stream_scratch=stream_scratch,
                 )
 
             mat_iota_f = jax.lax.broadcasted_iota(
@@ -470,6 +478,7 @@ def _render_mesh_packed(
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
+    scratch_shapes = []
     if grid_static is None:
         inputs = [cam_row, meta, packed.cols, packed.attr]
         in_specs += [
@@ -480,13 +489,31 @@ def _render_mesh_packed(
         # grid_tables = (dense, tier_table_0, ..., tier_table_k, mats)
         inputs = [cam_row, meta, packed, *grid_tables]
         in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]  # globals
+        # grid_tables = (dense, tier..., mats); phase B puts the (one)
+        # stream chunk table in ANY (HBM) — the service DMAs page slabs
+        hbm = bool(grid_static.hbm_table)
         in_specs += [
-            pl.BlockSpec(memory_space=pltpu.VMEM)
-            for _ in range(len(grid_tables))
+            pl.BlockSpec(
+                memory_space=pl.ANY
+                if (hbm and 1 <= i < len(grid_tables) - 1)
+                else pltpu.VMEM
+            )
+            for i in range(len(grid_tables))
         ]
         if n_lights:
             inputs.append(lights_tab)
             in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        if hbm:
+            (q_s, _, _), = grid_static.tiers
+            rr = N_SECTIONS * q_s + 1  # + continuation-flag row
+            rr_pad = int(np.ceil(rr / 8.0)) * 8
+            k = max(1, int(grid_static.gather_pages))
+            scratch_shapes = [
+                pltpu.VMEM(
+                    (k * rr_pad, TILE_LANES), grid_tables[1].dtype
+                ),
+                pltpu.SemaphoreType.DMA,
+            ]
     r, g, b, rays = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -497,6 +524,7 @@ def _render_mesh_packed(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
+        scratch_shapes=scratch_shapes,
     )(*inputs)
 
     if grid_static is not None and grid_static.gather_pages == 0:

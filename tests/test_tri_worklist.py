@@ -230,3 +230,36 @@ def test_small_mesh_declines_grid():
 def test_sections_constant():
     # the kernel's section unpacking is hand-indexed; pin the layout
     assert N_SECTIONS == 19
+
+
+def test_hbm_stream_kernel_matches_reference(monkeypatch):
+    """Phase B: with the stream-table VMEM budget forced to ~0, the
+    packer must choose the HBM-resident plan (hbm_table=1) and the
+    kernel must DMA page slabs from the ANY-space table — output
+    identical in distribution to the ordinary stream path (same chunk
+    layout, same walk)."""
+    from csgrenderer_tpu.kernels import tri_worklist as twl
+
+    monkeypatch.setattr(twl, "_STREAM_TABLE_BYTES", 1)
+    twl._PACK_CACHE.clear()
+    mesh = demo_mesh(3)
+    pack, _, _ = pack_tri_grid(mesh, stream=True)
+    gs = pack.static
+    assert gs.hbm_table == 1 and gs.gather_pages > 0
+    cam = Camera.look_at(
+        (0.0, 1.6, 2.2), (0.0, 0.7, -2.6),
+        vfov_degrees=45.0, aspect_ratio=64 / 36,
+    )
+    img_g, rays_g = render_image_mesh_pallas(
+        mesh, cam, 64, 36, spp=2, max_bounces=4, seed=7,
+        interpret=True, worklist="stream",
+    )
+    img_j, rays_j = render_image(
+        mesh.nearest_hit, cam, 64, 36, spp=2, max_bounces=4, seed=7
+    )
+    assert int(rays_g) == int(rays_j)
+    rmse = float(
+        np.sqrt(np.mean((np.asarray(img_g) - np.asarray(img_j)) ** 2))
+    )
+    assert rmse < 1.5e-3
+    twl._PACK_CACHE.clear()
