@@ -29,7 +29,7 @@ def _add_common(ap):
 
 
 SCENES = ("milestone01", "diffuse", "csg", "rtiow", "deepcsg", "csgnight",
-          "manyobjects")
+          "manyobjects", "meshnight")
 
 
 def _build(scene_name: str, aspect: float):
@@ -77,6 +77,15 @@ def _build(scene_name: str, aspect: float):
             Camera.look_at((0, 2.0, 7.0), (0.5, 0, 0), vfov_degrees=40.0,
                            aspect_ratio=aspect),
             dict(),
+        )
+    if scene_name == "meshnight":
+        from csgrenderer_tpu.models import mesh_night_scene
+
+        return (
+            mesh_night_scene(),
+            Camera.look_at((0, 1.8, 2.4), (0, 0.7, -2.6),
+                           vfov_degrees=45.0, aspect_ratio=aspect),
+            dict(sky="black", nee=True),
         )
     if scene_name == "manyobjects":
         from csgrenderer_tpu.models import many_objects_scene

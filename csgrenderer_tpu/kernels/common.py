@@ -1106,9 +1106,37 @@ def grid_wavefront(
             out["t_lamp"] = t_lamp_st
             out["lamp_id"] = lamp_st
             out["prevpdf"] = prevpdf
+        if "pad" in st:
+            out["pad"] = tuple(p + dx for p in st["pad"])
         return out
 
-    return jax.lax.while_loop(wave_cond, wave_step, state0)
+    # --- census instrumentation (env-gated; outputs correct, timing
+    # experiments for the doc/PERF_NOTES remainder itemization) ---
+    # CSGR_WAVE_PAD=N: N extra value-dependent planes threaded through
+    # the carry (each costs one add/iter + its carry residency) — the
+    # ns/iter slope over N measures the marginal loop-state cost.
+    # CSGR_WAVE_UNROLL=K: K wave_steps per while iteration — halving/
+    # quartering the cond-reduction + backedge count isolates the loop-
+    # boundary cost (wave_step is state->state pure, so output is
+    # IDENTICAL; iters still counts steps).
+    import os as _os
+
+    pad_n = int(_os.environ.get("CSGR_WAVE_PAD", "0"))
+    if pad_n:
+        state0["pad"] = tuple(
+            local_pix.astype(jnp.float32) * 0.0 + np.float32(i)
+            for i in range(pad_n)
+        )
+    unroll = int(_os.environ.get("CSGR_WAVE_UNROLL", "1"))
+    if unroll > 1:
+        def wave_body(st):
+            for _ in range(unroll):
+                st = wave_step(st)
+            return st
+    else:
+        wave_body = wave_step
+
+    return jax.lax.while_loop(wave_cond, wave_body, state0)
 
 
 def sky_planes(ud, mode: str):

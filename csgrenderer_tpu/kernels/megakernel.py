@@ -604,6 +604,13 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
             rays_ref[:] = state["iters"]
         else:
             rays_ref[:] = state["rays"]
+        if "pad" in state:
+            # CSGR_WAVE_PAD census: consume the pad carries so the while
+            # simplifier can't DCE them; the comparison is always False
+            # (pad values stay ~iteration-count scale, far below BIG)
+            rays_ref[:] = rays_ref[:] + (
+                state["pad"][0] > BIG
+            ).astype(jnp.int32)
 
     return kernel
 

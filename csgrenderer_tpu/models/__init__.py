@@ -3,6 +3,7 @@ from .scenes import (
     config3_csg_scene,
     csg_night_scene,
     many_objects_scene,
+    mesh_night_scene,
     milestone01_scene_graph,
     night_scene,
     rtiow_final_scene,
@@ -18,4 +19,5 @@ __all__ = [
     "night_scene",
     "csg_night_scene",
     "many_objects_scene",
+    "mesh_night_scene",
 ]

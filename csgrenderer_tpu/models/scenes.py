@@ -345,3 +345,29 @@ def animated_csg_scene(n_levels: int = 8):
         return tape.with_edges(new_q, tape.edge_off)
 
     return g, animate
+
+
+def mesh_night_scene(subdiv: int = 2):
+    """Emissive-quad-lit triangle-mesh night scene (round 3b): two quad
+    panel lamps over lambertian/glossy-metal icospheres and a floor,
+    black sky — the mesh twin of ``night_scene``/``csg_night_scene``,
+    exercising area-sampled TriLights NEE + glossy MIS on the mesh
+    kernel (render/lights.extract_mesh_lights; beyond the reference,
+    which has no meshes at all — SURVEY §2)."""
+    from ..render.trimesh import concat_meshes, icosphere, quad
+    from ..scene.graph import Material
+
+    return concat_meshes(
+        icosphere((-1.2, 0.75, -3.1), 0.75,
+                  Material.lambertian((0.65, 0.3, 0.25)), subdiv),
+        icosphere((1.1, 0.7, -2.8), 0.7,
+                  Material.metal((0.85, 0.75, 0.55), 0.15), subdiv),
+        icosphere((-0.1, 0.42, -1.8), 0.42,
+                  Material.lambertian((0.25, 0.4, 0.7)), subdiv),
+        quad((-1.4, 2.6, -3.6), (-0.2, 2.6, -3.6), (-0.2, 2.6, -2.4),
+             (-1.4, 2.6, -2.4), Material.emissive((16.0, 14.0, 10.0))),
+        quad((1.0, 2.2, -2.2), (2.0, 2.2, -2.2), (2.0, 2.2, -1.2),
+             (1.0, 2.2, -1.2), Material.emissive((4.0, 7.0, 12.0))),
+        quad((-7, 0, -10), (7, 0, -10), (7, 0, 2.5), (-7, 0, 2.5),
+             Material.lambertian((0.5, 0.5, 0.48))),
+    )
