@@ -505,9 +505,14 @@ def nee_sample_tri_planes(
     render/lights.nee_contribution_tri (area sampling, double-sided
     lamps), structured exactly like nee_sample_planes.
 
-    ``light_scal``: per-light lists of >= 16 SMEM scalars
+    ``light_scal``: EITHER per-light lists of >= 16 SMEM scalars
     (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, er, eg, eb,
-    nx, ny, nz, area). Returns (ld(3), tl, w(3), lamp_id, ok) with
+    nx, ny, nz, area) — an unrolled where-chain, right for a few lamps —
+    OR a single [16, L_pad] VMEM array for MANY lamps (emissive lamp
+    geometry like a mesh light sphere easily has dozens-hundreds of
+    faces): the picked lamp's 16 rows come from one one-hot MXU gather
+    per row group (~L/8 vector ops) instead of 16*L vector selects.
+    Returns (ld(3), tl, w(3), lamp_id, ok) with
     lamp_id = -2 rows: mesh walks do not track face ids, so the shadow
     occlusion test degenerates to the pure distance tolerance — exact
     enough because the sampled point lies ON the lamp face (its own hit
@@ -526,27 +531,53 @@ def nee_sample_tri_planes(
         (u0 * np.float32(n_lights)).astype(jnp.int32), n_lights - 1
     )
     zero = jnp.zeros_like(px)
-    v0x = v0y = v0z = e1x = e1y = e1z = e2x = e2y = e2z = zero
-    er = eg = eb = lnx = lny = lnz = area = zero
-    for i in range(n_lights):
-        s = light_scal[i]
-        pick = li == i
-        v0x = jnp.where(pick, s[0], v0x)
-        v0y = jnp.where(pick, s[1], v0y)
-        v0z = jnp.where(pick, s[2], v0z)
-        e1x = jnp.where(pick, s[3], e1x)
-        e1y = jnp.where(pick, s[4], e1y)
-        e1z = jnp.where(pick, s[5], e1z)
-        e2x = jnp.where(pick, s[6], e2x)
-        e2y = jnp.where(pick, s[7], e2y)
-        e2z = jnp.where(pick, s[8], e2z)
-        er = jnp.where(pick, s[9], er)
-        eg = jnp.where(pick, s[10], eg)
-        eb = jnp.where(pick, s[11], eb)
-        lnx = jnp.where(pick, s[12], lnx)
-        lny = jnp.where(pick, s[13], lny)
-        lnz = jnp.where(pick, s[14], lnz)
-        area = jnp.where(pick, s[15], area)
+    if not isinstance(light_scal, (list, tuple)):
+        # [16, L_pad] table: one-hot gather of each lane's lamp row set
+        tab = light_scal
+        l_pad = tab.shape[1]
+        l_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (l_pad, li.shape[1]), 0
+        )
+        rows: list = [[] for _ in range(16)]
+        for g in range(li.shape[0]):
+            onehot = (l_iota == li[g : g + 1]).astype(tab.dtype)
+            # HIGHEST: lamp geometry must survive in full f32 (the
+            # default TPU dot is ONE bf16 pass — would shift sampled
+            # points ~0.4% and break the 1e-4 shadow window); the dot
+            # is [16, L]@[L, 128], far off any hot path
+            got = jax.lax.dot_general(
+                tab, onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [16, 128]
+            for j in range(16):
+                rows[j].append(got[j : j + 1])
+        (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
+         er, eg, eb, lnx, lny, lnz, area) = (
+            jnp.concatenate(r, axis=0) for r in rows
+        )
+    else:
+        v0x = v0y = v0z = e1x = e1y = e1z = e2x = e2y = e2z = zero
+        er = eg = eb = lnx = lny = lnz = area = zero
+        for i in range(n_lights):
+            s = light_scal[i]
+            pick = li == i
+            v0x = jnp.where(pick, s[0], v0x)
+            v0y = jnp.where(pick, s[1], v0y)
+            v0z = jnp.where(pick, s[2], v0z)
+            e1x = jnp.where(pick, s[3], e1x)
+            e1y = jnp.where(pick, s[4], e1y)
+            e1z = jnp.where(pick, s[5], e1z)
+            e2x = jnp.where(pick, s[6], e2x)
+            e2y = jnp.where(pick, s[7], e2y)
+            e2z = jnp.where(pick, s[8], e2z)
+            er = jnp.where(pick, s[9], er)
+            eg = jnp.where(pick, s[10], eg)
+            eb = jnp.where(pick, s[11], eb)
+            lnx = jnp.where(pick, s[12], lnx)
+            lny = jnp.where(pick, s[13], lny)
+            lnz = jnp.where(pick, s[14], lnz)
+            area = jnp.where(pick, s[15], area)
 
     # uniform area sample: r = sqrt(u1), barycentrics (1 - r, u2 r)
     r_s = jnp.sqrt(u1)

@@ -365,10 +365,17 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, f_pad, n_pix,
 
                 def nee_sample(p, nrm, alb_, d_in, kind_, param_,
                                pix_u_cur, cur_s, b_plane):
-                    light_scal = [
-                        [lights_ref[i, j] for j in range(16)]
-                        for i in range(n_lights)
-                    ]
+                    if n_lights > 8:
+                        # many lamps (e.g. a tessellated light sphere):
+                        # [16, L_pad] VMEM table, one-hot gather in
+                        # nee_sample_tri_planes instead of a 16*L
+                        # where-chain
+                        light_scal = lights_ref[:]
+                    else:
+                        light_scal = [
+                            [lights_ref[i, j] for j in range(16)]
+                            for i in range(n_lights)
+                        ]
 
                     def pdf_b_fn(ld, cos):
                         pdf_lam = (
@@ -502,7 +509,9 @@ def _render_mesh_packed(
         ]
         if n_lights:
             inputs.append(lights_tab)
-            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            in_specs.append(pl.BlockSpec(
+                memory_space=pltpu.VMEM if n_lights > 8 else pltpu.SMEM
+            ))
         if hbm:
             (q_s, _, _), = grid_static.tiers
             rr = N_SECTIONS * q_s + 1  # + continuation-flag row
@@ -634,7 +643,16 @@ def render_image_mesh_pallas(
             tab[:, 9:12] = lights.emit
             tab[:, 12:15] = lights.normal
             tab[:, 15] = lights.area
-            lights_tab = jnp.asarray(tab)
+            if n_lights > 8:
+                # VMEM one-hot-gather layout: [16, L_pad], lamps padded
+                # with zero columns (zero area -> never picked: li is
+                # clamped to n_lights - 1)
+                l_pad = int(np.ceil(n_lights / 128.0)) * 128
+                tabv = np.zeros((16, l_pad), np.float32)
+                tabv[:, :n_lights] = tab.T
+                lights_tab = jnp.asarray(tabv)
+            else:
+                lights_tab = jnp.asarray(tab)
         return packed, grid_static, grid_tables, n_globals, lights_tab, \
             n_lights
 

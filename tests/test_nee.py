@@ -734,3 +734,37 @@ def test_mesh_nee_renderer_config():
             MESH_CAM, 16, 8, spp=1, interpret=True, worklist=False,
             nee=True,
         )
+
+
+def test_mesh_nee_many_lamps_table_gather():
+    """n_lights > 8 switches the kernel's lamp pick to the [16, L_pad]
+    VMEM one-hot gather (HIGHEST-precision dot); must stay ray-count
+    exact vs the jnp reference. 80 lamps = an emissive icosphere."""
+    from csgrenderer_tpu.kernels import render_image_mesh_pallas
+    from csgrenderer_tpu.render.lights import extract_mesh_lights
+    from csgrenderer_tpu.render.trimesh import concat_meshes, icosphere, quad
+    from csgrenderer_tpu.scene import Material
+
+    mesh = concat_meshes(
+        icosphere((-0.9, 0.7, -3.0), 0.7,
+                  Material.lambertian((0.6, 0.3, 0.3)), 2),
+        icosphere((0.2, 2.2, -2.6), 0.35,
+                  Material.emissive((14.0, 12.0, 9.0)), 1),
+        quad((-6, 0, -9), (6, 0, -9), (6, 0, 2), (-6, 0, 2),
+             Material.lambertian((0.5, 0.5, 0.5))),
+    )
+    lights = extract_mesh_lights(mesh)
+    assert lights.num_lights == 80
+    ref, rrays = render_image(
+        mesh.nearest_hit, MESH_CAM, 48, 24, spp=2, max_bounces=3, seed=7,
+        sky="black", lights=lights,
+    )
+    img, krays = render_image_mesh_pallas(
+        mesh, MESH_CAM, 48, 24, spp=2, max_bounces=3, seed=7, sky="black",
+        interpret=True, worklist=True, nee=True,
+    )
+    assert int(krays) == int(rrays)
+    bad = (
+        np.abs(np.asarray(img) - np.asarray(ref)).max(axis=-1) > 0.05
+    ).mean()
+    assert bad <= 0.01, f"{bad:.3%} divergent"
