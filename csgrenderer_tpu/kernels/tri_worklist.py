@@ -658,33 +658,53 @@ def pack_tri_grid(
     assert n_compact < int(PAD_CI), "compact id space collides with PAD_CI"
     sec = {name: i for i, name in enumerate(_SECTIONS)}
 
-    def fill_slot(table, mb, col, slot, fi, corner):
+    def fill_slots_batch(table, mb, cols, slots, fis, corners):
+        """Vectorized slot fill: identical IEEE math to the old scalar
+        fill_slot (bf16 hi/lo splits are elementwise), one fancy-indexed
+        scatter per section — the per-(face, voxel)-pair Python loop was
+        77% of a 45 s pack at 61k faces (1M+ scalar _bf16_split calls)."""
+        cols = np.asarray(cols, np.int64)
+        slots = np.asarray(slots, np.int64)
+        fis = np.asarray(fis, np.int64)
+        rel = v0[fis] - corners  # [N, 3] f64
         vals = {}
-        rel = v0[fi] - corner
         for ax, axn in enumerate("xyz"):
-            hi, lo = _bf16_split(rel[ax])
+            hi, lo = _bf16_split(rel[:, ax])
             vals[f"v0{axn}_hi"], vals[f"v0{axn}_lo"] = hi, lo
-            hi, lo = _bf16_split(e1[fi, ax])
+            hi, lo = _bf16_split(e1[fis, ax])
             vals[f"e1{axn}_hi"], vals[f"e1{axn}_lo"] = hi, lo
-            hi, lo = _bf16_split(e2[fi, ax])
+            hi, lo = _bf16_split(e2[fis, ax])
             vals[f"e2{axn}_hi"], vals[f"e2{axn}_lo"] = hi, lo
-        vals["mat_id"] = np.float32(face_mat[fi])
+        vals["mat_id"] = face_mat[fis].astype(np.float32)
         for name, v in vals.items():
-            table[sec[name] * mb + slot, col] = v
+            table[sec[name] * mb + slots, cols] = v
 
-    def cell_corner(ci):
-        cz = ci % nzc
-        cy = (ci // nzc) % nyc
-        cx = ci // (nzc * nyc)
-        return g0 + np.asarray([cx, cy, cz], np.float64) * cell
+    def cell_corners(cis):
+        cis = np.asarray(cis, np.int64)
+        cz = cis % nzc
+        cy = (cis // nzc) % nyc
+        cx = cis // (nzc * nyc)
+        return g0[None] + np.stack([cx, cy, cz], axis=1).astype(
+            np.float64
+        ) * cell
 
     if mode == "stream":
         table = tables[0]
+        cols_l: list = []
+        slots_l: list = []
+        fis_l: list = []
+        cis_l: list = []
         for col, (ci, faces, more) in enumerate(chunk_cols):
-            corner = cell_corner(ci)
             for slot, fi in enumerate(faces):
-                fill_slot(table, q_s, col, slot, fi, corner)
+                cols_l.append(col)
+                slots_l.append(slot)
+                fis_l.append(fi)
+                cis_l.append(ci)
             table[N_SECTIONS * q_s, col] = 1.0 if more else 0.0
+        if cols_l:
+            fill_slots_batch(
+                table, q_s, cols_l, slots_l, fis_l, cell_corners(cis_l)
+            )
         for ci, col0 in first_col.items():
             dense_map[0, ci] = np.float32(256 * (col0 // 256))
             dense_map[1, ci] = np.float32(col0 % 256)
@@ -706,13 +726,24 @@ def pack_tri_grid(
     else:
         for (mb, w, toff), cells, table in zip(tiers, [c for c in tier_cells
                                                        if c], tables):
+            cols_l = []
+            slots_l = []
+            fis_l = []
+            cis_l = []
             for local_i, (ci, l) in enumerate(cells):
                 compact_i = toff + local_i
                 dense_map[0, ci] = np.float32(256 * (compact_i // 256))
                 dense_map[1, ci] = np.float32(compact_i % 256)
-                corner = cell_corner(ci)
                 for slot, fi in enumerate(l):
-                    fill_slot(table, mb, local_i, slot, fi, corner)
+                    cols_l.append(local_i)
+                    slots_l.append(slot)
+                    fis_l.append(fi)
+                    cis_l.append(ci)
+            if cols_l:
+                fill_slots_batch(
+                    table, mb, cols_l, slots_l, fis_l,
+                    cell_corners(cis_l),
+                )
 
     globals_idx = np.sort(
         np.concatenate([np.where(big_face)[0], np.fromiter(spilled, int,
