@@ -208,6 +208,33 @@ def build_configs():
     cfgs.append(Config("config6_mesh", c6_kernel, c6_ref,
                        96, 54, 2048, 32768, 6, ref_chunk=1024))
 
+    # config 7 (round 3b): mesh NEE — emissive-face TriLights lamps with
+    # MIS through the tri-grid shadow walk (models.mesh_night_scene),
+    # black sky. Covers nee_sample_tri_planes + tri_bsdf_mis_planes +
+    # the shadow-segment machinery on the mesh kernel.
+    from csgrenderer_tpu.models import mesh_night_scene
+    from csgrenderer_tpu.render.lights import extract_mesh_lights
+
+    m7 = mesh_night_scene()
+    l7 = extract_mesh_lights(m7)
+    cam7 = Camera.look_at((0.0, 1.8, 2.4), (0.0, 0.7, -2.6),
+                          vfov_degrees=45.0, aspect_ratio=96 / 54)
+
+    def c7_kernel(seed, spp, off=0):
+        img, _ = render_image_mesh_pallas(
+            m7, cam7, 96, 54, spp=spp, max_bounces=6, seed=seed,
+            sky="black", nee=True, sample_offset=off)
+        return img
+
+    def c7_ref(seed, spp, off=0):
+        img, _ = render_image(
+            m7.nearest_hit, cam7, 96, 54, spp=spp, max_bounces=6,
+            seed=seed, sky="black", lights=l7, sample_offset=off)
+        return img
+
+    cfgs.append(Config("config7_meshnight", c7_kernel, c7_ref,
+                       96, 54, 2048, 32768, 6, ref_chunk=1024))
+
     return cfgs
 
 
