@@ -198,11 +198,60 @@ def _tri_box_overlap(v0, v1, v2, centers, half):
     return ok
 
 
+_SAT_NATIVE: object = None
+
+
+def _native_sat():
+    """ctypes handle to scene_core's csgr_tri_box_overlap_pairs, or None
+    (no compiler / load failure — numpy fallback). One scalar early-exit
+    C++ pass beats numpy's ~40 whole-array passes ~5x on the packer's
+    binning; results are BIT-IDENTICAL (-ffp-contract=off, same
+    expression order — parity-fuzzed in tests/test_tri_worklist.py)."""
+    global _SAT_NATIVE
+    if _SAT_NATIVE is None:
+        try:
+            import ctypes
+
+            from ..scene.native import ensure_built
+
+            lib = ctypes.CDLL(str(ensure_built()))
+            fn = lib.csgr_tri_box_overlap_pairs
+            dp = ctypes.POINTER(ctypes.c_double)
+            fn.argtypes = [dp, dp, dp, dp, ctypes.c_double,
+                           ctypes.c_longlong,
+                           ctypes.POINTER(ctypes.c_ubyte)]
+            fn.restype = None
+            _SAT_NATIVE = fn
+        except Exception:
+            _SAT_NATIVE = False
+    return _SAT_NATIVE or None
+
+
+def _tri_box_overlap_pairs_native(v0p, v1p, v2p, centers, half, fn):
+    import ctypes
+
+    n = v0p.shape[0]
+    out = np.zeros(n, np.uint8)
+    args = []
+    for a in (v0p, v1p, v2p, centers):
+        a = np.ascontiguousarray(a, np.float64)
+        args.append(a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    fn(*args, ctypes.c_double(float(half)), ctypes.c_longlong(n),
+       out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    return out.astype(bool)
+
+
 def _tri_box_overlap_pairs(v0p, v1p, v2p, centers, half):
     """Vectorized SAT over (triangle, box) PAIRS: v0p/v1p/v2p/centers are
     [P, 3] with a DIFFERENT triangle per row (the batched form of
     _tri_box_overlap, which fixes one triangle). Same 13-axis test, same
-    epsilons — bit-identical keep decisions."""
+    epsilons — bit-identical keep decisions. Dispatches to the native
+    C++ twin when the scene-core library is available."""
+    fn = _native_sat()
+    if fn is not None and v0p.shape[0]:
+        return _tri_box_overlap_pairs_native(
+            v0p, v1p, v2p, centers, half, fn
+        )
     h = np.asarray([half, half, half])
     p0 = v0p - centers
     p1 = v1p - centers

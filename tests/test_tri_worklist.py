@@ -263,3 +263,35 @@ def test_hbm_stream_kernel_matches_reference(monkeypatch):
     )
     assert rmse < 1.5e-3
     twl._PACK_CACHE.clear()
+
+
+def test_native_sat_parity_fuzz():
+    """The C++ SAT pair test must agree BIT-EXACTLY with the numpy
+    reference on random near-threshold pairs (same 13-axis math,
+    -ffp-contract=off); skipped when no compiler is available."""
+    from csgrenderer_tpu.kernels import tri_worklist as twl
+
+    fn = twl._native_sat()
+    if fn is None:
+        pytest.skip("native scene core unavailable")
+    rng = np.random.default_rng(3)
+    n = 50000
+    v0 = rng.normal(0, 1, (n, 3))
+    v1 = v0 + rng.normal(0, 0.1, (n, 3))
+    v2 = v0 + rng.normal(0, 0.1, (n, 3))
+    centers = v0 + rng.normal(0, 0.08, (n, 3))
+    for half in (0.03, 0.07, 0.2):
+        a = twl._tri_box_overlap_pairs_native(
+            v0, v1, v2, centers, half, fn
+        )
+        b = twl._tri_box_overlap_pairs.__wrapped__(
+            v0, v1, v2, centers, half
+        ) if hasattr(twl._tri_box_overlap_pairs, "__wrapped__") else None
+        if b is None:
+            saved = twl._SAT_NATIVE
+            twl._SAT_NATIVE = False
+            try:
+                b = twl._tri_box_overlap_pairs(v0, v1, v2, centers, half)
+            finally:
+                twl._SAT_NATIVE = saved
+        assert (a == b).all()
