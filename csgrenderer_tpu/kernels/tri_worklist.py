@@ -297,7 +297,7 @@ def pack_tri_grid(
     footprint_factor: float = 6.0,
     max_globals: int = 16,
     stream: bool | str = "auto",
-    gather_pages: int = 2,
+    gather_pages: int = 4,
 ):
     """Build a TriGridPack for a MeshScene, or None if a grid won't help.
 

@@ -567,7 +567,7 @@ def render_image_mesh_pallas(
     rows: int | None = None,
     row_offset=0,
     worklist: bool | str = "auto",
-    gather_pages: int = 2,
+    gather_pages: int = 4,
     nee: bool = False,
 ):
     """Drop-in for ``integrator.render_image`` on MeshScene.
