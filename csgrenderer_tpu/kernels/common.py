@@ -787,6 +787,71 @@ def nee_planes(
     )
 
 
+def nee_tri_planes(
+    light_scal, n_lights, p, n, alb, occlusion_t,
+    pix_u, cur_s, b_plane, seed, pdf_b_fn=None,
+):
+    """Triangle-lamp NEE with an explicit occlusion callback — the mesh
+    twin of nee_planes (used by the BRUTE mesh path, where the shadow
+    test is one extra Möller-Trumbore min-t pass instead of a worklist
+    walk). ``occlusion_t(p, dir) -> t planes`` along a UNIT direction."""
+    ld, tl, (wr, wg, wb), _, _ = nee_sample_tri_planes(
+        light_scal, n_lights, p, n, alb, pix_u, cur_s, b_plane, seed,
+        pdf_b_fn=pdf_b_fn,
+    )
+    t_occ = occlusion_t(p, ld)
+    vis = ~(t_occ < tl * np.float32(1.0 - 1e-4))
+    return (
+        jnp.where(vis, wr, 0.0),
+        jnp.where(vis, wg, 0.0),
+        jnp.where(vis, wb, 0.0),
+    )
+
+
+def tri_bsdf_mis_table_planes(light_scal, n_lights, p_hit, d, t_safe,
+                              prev_pdf_b):
+    """MIS partner weight for mesh-lamp emission found BY the BSDF
+    sample, via a lamp-TABLE search (the brute mesh path carries winner
+    NORMALS, not edges, so tri_bsdf_mis_planes's edge-cross form is
+    unavailable): the lamp containing the hit is argmin plane distance
+    |(p_hit - v0_l) . n_l| over the (small) lamp list — the kernel twin
+    of render/lights.bsdf_mis_scale_tri. d may be unnormalized
+    (q = pdf_b * L * A * |d . n_l| * |d|^-3 / t^2, n_l unit)."""
+    hx, hy, hz = p_hit
+    dx, dy, dz = d
+    best = None
+    lnx = lny = lnz = area = None
+    for i in range(n_lights):
+        s = light_scal[i]
+        pd = jnp.abs(
+            (hx - s[0]) * s[12] + (hy - s[1]) * s[13]
+            + (hz - s[2]) * s[14]
+        )
+        if best is None:
+            best = pd
+            lnx = pd * 0.0 + s[12]
+            lny = pd * 0.0 + s[13]
+            lnz = pd * 0.0 + s[14]
+            area = pd * 0.0 + s[15]
+        else:
+            better = pd < best
+            best = jnp.where(better, pd, best)
+            lnx = jnp.where(better, s[12], lnx)
+            lny = jnp.where(better, s[13], lny)
+            lnz = jnp.where(better, s[14], lnz)
+            area = jnp.where(better, s[15], area)
+    inv_dl = jax.lax.rsqrt(
+        jnp.maximum(dot3(dx, dy, dz, dx, dy, dz), jnp.float32(1e-20))
+    )
+    dist2 = jnp.maximum(t_safe * t_safe, jnp.float32(1e-20))
+    q = (
+        prev_pdf_b * np.float32(n_lights) * area
+        * jnp.abs(dot3(dx, dy, dz, lnx, lny, lnz))
+        * inv_dl * inv_dl * inv_dl / dist2
+    )
+    return q / (q + 1.0)
+
+
 def grid_wavefront(
     *,
     spp,

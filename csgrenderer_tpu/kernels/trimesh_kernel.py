@@ -129,6 +129,9 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, f_pad, n_pix,
                 stream_scratch = (rest2[-2], rest2[-1])
                 rest2 = rest2[:-2]
             (out_r_ref, out_g_ref, out_b_ref, rays_ref) = rest2[1:]
+        elif n_lights:
+            (cols_ref, attr_ref, lights_ref,
+             out_r_ref, out_g_ref, out_b_ref, rays_ref) = rest
         else:
             (cols_ref, attr_ref,
              out_r_ref, out_g_ref, out_b_ref, rays_ref) = rest
@@ -208,6 +211,39 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, f_pad, n_pix,
                 n = (raw[0] + raw[3], raw[1] + raw[4], raw[2] + raw[5])
                 return t_pl, n, raw[6], raw[7], (raw[8], raw[9], raw[10])
 
+            def occlusion_min_t(p3, ld3):
+                """Shadow min-t: the MT pass without winner attributes."""
+                hx, hy, hz = p3
+                ldx, ldy, ldz = ld3
+                t_rows = []
+                for g in range(TILE_ROWS):
+                    dxr, dyr, dzr = (
+                        ldx[g:g+1], ldy[g:g+1], ldz[g:g+1]
+                    )
+                    oxr, oyr, ozr = hx[g:g+1], hy[g:g+1], hz[g:g+1]
+                    pvx = dyr * e2z - dzr * e2y
+                    pvy = dzr * e2x - dxr * e2z
+                    pvz = dxr * e2y - dyr * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    inv_det = 1.0 / det
+                    tvx = oxr - v0x
+                    tvy = oyr - v0y
+                    tvz = ozr - v0z
+                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    v = (dxr * qvx + dyr * qvy + dzr * qvz) * inv_det
+                    tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                    valid = (
+                        (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                        & (tt > eps)
+                    )
+                    t_rows.append(jnp.min(
+                        jnp.where(valid, tt, BIG), axis=0, keepdims=True
+                    ))
+                return jnp.concatenate(t_rows, axis=0)
+
             def bounce_step(b, s, pu, o, d, thr, rad, active_i, rays, extra):
                 ox, oy, oz = o
                 dx, dy, dz = d
@@ -220,17 +256,91 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, f_pad, n_pix,
                 front = (dx * ngx + dy * ngy + dz * ngz) < 0.0
                 sgn = jnp.where(front, 1.0, -1.0)
                 n = (ngx * sgn, ngy * sgn, ngz * sgn)
+                emit_scale = None
+                if n_lights:
+                    # brute mesh NEE: area-sampled TriLights + MIS; the
+                    # shadow test is one extra min-t MT pass (the brute
+                    # analog of the megakernel's nee_planes block)
+                    from .common import (
+                        nee_tri_planes,
+                        scatter_pdf_lam_planes,
+                        scatter_pdf_metal_planes,
+                        tri_bsdf_mis_table_planes,
+                    )
+
+                    # brute lamps always ride SMEM scalar rows (the VMEM
+                    # table layout is grid-mode only; brute meshes are
+                    # small, so the where-chain cost is acceptable)
+                    light_scal = [
+                        [lights_ref[i, j] for j in range(16)]
+                        for i in range(n_lights)
+                    ]
+                    t_safe = jnp.where(hit, t_pl, 1.0)
+                    hpx = ox + t_safe * dx
+                    hpy = oy + t_safe * dy
+                    hpz = oz + t_safe * dz
+                    w_b = tri_bsdf_mis_table_planes(
+                        light_scal, n_lights, (hpx, hpy, hpz),
+                        (dx, dy, dz), t_safe, extra,
+                    )
+                    emit_scale = jnp.where(
+                        (kind == 4.0) & (extra > 0.0) & (b > jnp.uint32(0)),
+                        w_b, 1.0,
+                    )
+                    is_lam = kind == 1.0
+                    glossy = (kind == 2.0) & (param > jnp.float32(1e-4))
+
+                    def pdf_b_fn(ld, cos):
+                        pdf_lam = (
+                            jnp.maximum(cos, 0.0)
+                            * np.float32(1.0 / np.pi)
+                        )
+                        pdf_met = scatter_pdf_metal_planes(
+                            (dx, dy, dz), n, param, ld
+                        )
+                        pdf_met = jnp.where(cos > 0.0, pdf_met, 0.0)
+                        return jnp.where(
+                            is_lam, pdf_lam,
+                            jnp.where(glossy, pdf_met, 0.0),
+                        )
+
+                    dr, dg, db = nee_tri_planes(
+                        light_scal, n_lights, (hpx, hpy, hpz), n, alb,
+                        occlusion_min_t, pu if pu is not None else pix_u,
+                        s, b, seed, pdf_b_fn=pdf_b_fn,
+                    )
+                    nee_mask = active & hit & (is_lam | glossy)
+                    rad = tuple(
+                        r_ + jnp.where(nee_mask, t_ * d_, 0.0)
+                        for r_, t_, d_ in zip(rad, thr, (dr, dg, db))
+                    )
+                d_in = (dx, dy, dz)
                 (o, d, thr, rad, term) = shade_and_advance(
                     active, t_pl, hit, n, front, kind, param, alb,
                     o, d, thr, rad, pix_u, s, b, seed, sky,
+                    emit_scale=emit_scale,
                 )
                 rays = rays + active_i
-                active_i = (active & hit & ~term).astype(jnp.int32)
+                cont = active & hit & ~term
+                if n_lights:
+                    extra = jnp.where(
+                        cont & is_lam,
+                        scatter_pdf_lam_planes(n, d),
+                        jnp.where(
+                            cont & glossy,
+                            scatter_pdf_metal_planes(d_in, n, param, d),
+                            0.0,
+                        ),
+                    )
+                active_i = cont.astype(jnp.int32)
                 return o, d, thr, rad, active_i, rays, extra
 
+            extra0 = None
+            if n_lights:
+                extra0 = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.float32)
             state = classic_wavefront(
                 bounce_step, camera_rays, spp, max_bounces, in_image,
-                sample_offset_u,
+                sample_offset_u, extra0=extra0,
             )
         else:
             # ---- grid mode: fused 3D DDA on the rotating wavefront ----
@@ -492,6 +602,9 @@ def _render_mesh_packed(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
+        if n_lights:
+            inputs.append(lights_tab)
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     else:
         # grid_tables = (dense, tier_table_0, ..., tier_table_k, mats)
         inputs = [cam_row, meta, packed, *grid_tables]
@@ -579,8 +692,9 @@ def render_image_mesh_pallas(
     ``gather_pages``: stream-mode pages served per row group per
     iteration (tri_worklist.TriGridStatic.gather_pages).
     ``nee``: area-sampled next-event estimation on the mesh's emissive
-    faces (render/lights.TriLights), MIS-paired like the sphere paths;
-    grid mode only (the brute path has no shadow-walk machinery).
+    faces (render/lights.TriLights), MIS-paired like the sphere paths.
+    Grid mode runs the shadow ray as a worklist walk segment; the brute
+    path pays one extra min-t Möller-Trumbore pass per bounce.
     """
     if not jitter:
         raise NotImplementedError("mesh kernel always jitters")
@@ -623,11 +737,6 @@ def render_image_mesh_pallas(
         lights_tab = None
         n_lights = 0
         if nee:
-            if grid_static is None:
-                raise NotImplementedError(
-                    "nee needs the grid worklist path (shadow rays ride "
-                    "the tri walk); this mesh is not griddable"
-                )
             from ..render.lights import extract_mesh_lights
 
             lights = extract_mesh_lights(mesh)
@@ -643,10 +752,11 @@ def render_image_mesh_pallas(
             tab[:, 9:12] = lights.emit
             tab[:, 12:15] = lights.normal
             tab[:, 15] = lights.area
-            if n_lights > 8:
+            if n_lights > 8 and grid_static is not None:
                 # VMEM one-hot-gather layout: [16, L_pad], lamps padded
                 # with zero columns (zero area -> never picked: li is
-                # clamped to n_lights - 1)
+                # clamped to n_lights - 1). Grid mode only — the brute
+                # path keeps SMEM scalar rows at any L.
                 l_pad = int(np.ceil(n_lights / 128.0)) * 128
                 tabv = np.zeros((16, l_pad), np.float32)
                 tabv[:, :n_lights] = tab.T

@@ -701,7 +701,7 @@ def test_sharded_mesh_nee_matches_single_device():
 
 def test_mesh_nee_renderer_config():
     """PathTraceRenderer accepts nee for MeshScene on both backends; a
-    lamp-less mesh and the brute path fail loudly."""
+    lamp-less mesh fails loudly."""
     from csgrenderer_tpu.app import PathTraceRenderer
     from csgrenderer_tpu.utils.config import RenderConfig
 
@@ -725,15 +725,39 @@ def test_mesh_nee_renderer_config():
                       Material.lambertian((0.5, 0.5, 0.5)), 3),
             MESH_CAM, cfg, backend="jnp",
         )
-    # brute path (ungriddable mesh) + nee -> loud NotImplementedError
-    from csgrenderer_tpu.kernels import render_image_mesh_pallas
 
-    with pytest.raises(NotImplementedError, match="grid"):
-        render_image_mesh_pallas(
-            icosphere((0, 0.7, -3), 0.7, Material.emissive((5, 5, 5)), 1),
-            MESH_CAM, 16, 8, spp=1, interpret=True, worklist=False,
-            nee=True,
-        )
+def test_mesh_nee_brute_path_matches_jnp():
+    """BRUTE-path mesh NEE (round 3b): ungriddable meshes get the same
+    area-sampled TriLights + MIS estimator with a min-t MT shadow pass —
+    ray-count exact and f32-exact vs the jnp reference (no bf16 tables
+    on the brute path)."""
+    from csgrenderer_tpu.kernels import render_image_mesh_pallas
+    from csgrenderer_tpu.render.lights import extract_mesh_lights
+    from csgrenderer_tpu.render.trimesh import concat_meshes, icosphere, quad
+    from csgrenderer_tpu.scene import Material
+
+    mesh = concat_meshes(
+        icosphere((0, 0.7, -3), 0.7,
+                  Material.lambertian((0.6, 0.3, 0.3)), 1),
+        quad((-0.6, 2.2, -3.4), (0.6, 2.2, -3.4), (0.6, 2.2, -2.4),
+             (-0.6, 2.2, -2.4), Material.emissive((12.0, 10.0, 8.0))),
+    )
+    lights = extract_mesh_lights(mesh)
+    cam = Camera.look_at((0, 1.4, 1.6), (0, 0.6, -3), vfov_degrees=50.0,
+                         aspect_ratio=2.0)
+    ref, rrays = render_image(
+        mesh.nearest_hit, cam, 48, 24, spp=3, max_bounces=4, seed=7,
+        sky="black", lights=lights,
+    )
+    img, krays = render_image_mesh_pallas(
+        mesh, cam, 48, 24, spp=3, max_bounces=4, seed=7, sky="black",
+        interpret=True, worklist=False, nee=True,
+    )
+    assert int(krays) == int(rrays)
+    rmse = float(
+        np.sqrt(np.mean((np.asarray(img) - np.asarray(ref)) ** 2))
+    )
+    assert rmse < 1e-5
 
 
 def test_mesh_nee_many_lamps_table_gather():
