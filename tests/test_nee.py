@@ -792,3 +792,27 @@ def test_mesh_nee_many_lamps_table_gather():
         np.abs(np.asarray(img) - np.asarray(ref)).max(axis=-1) > 0.05
     ).mean()
     assert bad <= 0.01, f"{bad:.3%} divergent"
+
+
+def test_mesh_nee_stream_worklist_matches_jnp():
+    """NEE shadow segments through the STREAM (demand-paged) gather:
+    the same walk serves path and shadow segments, so stream mode +
+    TriLights must stay ray-count exact vs the jnp reference."""
+    from csgrenderer_tpu.kernels import render_image_mesh_pallas
+    from csgrenderer_tpu.render.lights import extract_mesh_lights
+
+    mesh = small_mesh_night()
+    lights = extract_mesh_lights(mesh)
+    ref, rrays = render_image(
+        mesh.nearest_hit, MESH_CAM, 48, 24, spp=2, max_bounces=3, seed=5,
+        sky="black", lights=lights,
+    )
+    img, krays = render_image_mesh_pallas(
+        mesh, MESH_CAM, 48, 24, spp=2, max_bounces=3, seed=5, sky="black",
+        interpret=True, worklist="stream", nee=True,
+    )
+    assert int(krays) == int(rrays)
+    bad = (
+        np.abs(np.asarray(img) - np.asarray(ref)).max(axis=-1) > 0.05
+    ).mean()
+    assert bad <= 0.01, f"{bad:.3%} divergent"
