@@ -88,12 +88,31 @@ def golden_specs():
         )
         return np.asarray(r.draw_frame(1.0))
 
+    def config7():
+        # mesh NEE (round 3b): emissive-face TriLights + MIS on the jnp
+        # reference — the image-level regression net for the mesh-lamp
+        # estimator (kernel parity is asserted separately in test_nee.py)
+        from csgrenderer_tpu.models import mesh_night_scene
+
+        cam = Camera.look_at(
+            (0, 1.8, 2.4), (0, 0.7, -2.6), vfov_degrees=45.0,
+            aspect_ratio=160 / 90,
+        )
+        r = PathTraceRenderer(
+            mesh_night_scene(),
+            cam,
+            RenderConfig(width=160, height=90, spp=8, max_bounces=5,
+                         seed=7, sky="black", nee=True),
+        )
+        return np.asarray(r.draw_frame(0.0))
+
     return {
         "config1_milestone01": config1,
         "config2_two_spheres": config2,
         "config3_csg_boolean": config3,
         "config4_rtiow_final": config4,
         "config5_animated_csg": config5,
+        "config7_meshnight": config7,
     }
 
 
