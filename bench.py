@@ -121,6 +121,34 @@ def main():
     )
     args = ap.parse_args()
 
+    # Device liveness watchdog: the axon tunnel can wedge for HOURS
+    # (CLAUDE.md round-3b outage) and a dead tunnel makes jax.devices()
+    # block forever — emit one honest JSON error line instead of hanging
+    # the driver. The probe runs in a daemon thread; on timeout the
+    # process exits (the hung thread dies with it).
+    import threading
+
+    probe_ok = threading.Event()
+
+    def _probe():
+        try:
+            jax.devices()
+            probe_ok.set()
+        except Exception:
+            pass
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    if not probe_ok.wait(timeout=180.0):
+        print(json.dumps({
+            "metric": "Mrays/sec/chip", "value": 0.0, "unit": "Mrays/s",
+            "vs_baseline": 0.0,
+            "error": "device backend unreachable (init timed out after "
+                     "180 s — axon tunnel outage, not a kernel "
+                     "regression; last good: BENCH_r02.json 525.97)",
+        }))
+        sys.exit(3)
+
     backend = pick_backend(args.backend)
     platform = jax.devices()[0].platform
 
