@@ -54,14 +54,22 @@ def main(argv=None):
                     "the voxel worklists + paged dense map keep going)")
     ap.add_argument("--worklist", default="auto", choices=["auto", "off"],
                     help="per-voxel triangle worklists (auto) or brute")
+    ap.add_argument("--nee", action="store_true",
+                    help="night variant: emissive quad lamps + black sky,"
+                    " area-sampled TriLights NEE with MIS (round 3b)")
     args = ap.parse_args(argv)
 
     if args.obj:
         from csgrenderer_tpu.io.obj import load_mesh
 
         mesh = load_mesh(args.obj, Material.lambertian((0.6, 0.6, 0.6)))
+    elif args.nee:
+        from csgrenderer_tpu.models import mesh_night_scene
+
+        mesh = mesh_night_scene(args.subdiv)
     else:
         mesh = build_scene(args.subdiv)
+    sky = "black" if args.nee else "rtiow"
     cam = Camera.look_at((0.0, 1.6, 2.2), (0.0, 0.7, -2.6),
                          vfov_degrees=45.0,
                          aspect_ratio=args.width / args.height)
@@ -77,14 +85,19 @@ def main(argv=None):
 
         img, rays = render_image_mesh_pallas(
             mesh, cam, args.width, args.height, spp=args.spp,
-            max_bounces=args.bounces, seed=7,
+            max_bounces=args.bounces, seed=7, sky=sky, nee=args.nee,
             worklist=False if args.worklist == "off" else "auto")
     else:
         from csgrenderer_tpu.render import render_image
 
+        lights = None
+        if args.nee:
+            from csgrenderer_tpu.render.lights import extract_mesh_lights
+
+            lights = extract_mesh_lights(mesh)
         img, rays = render_image(
             mesh.nearest_hit, cam, args.width, args.height, spp=args.spp,
-            max_bounces=args.bounces, seed=7)
+            max_bounces=args.bounces, seed=7, sky=sky, lights=lights)
     r = int(rays)
     dt = time.perf_counter() - t0
     out = tonemap.to_uint8(tonemap.tonemap(img, gamma=2.0))
