@@ -12,6 +12,16 @@ cd "$(dirname "$0")/.."
 mkdir -p /tmp/r3b
 P="${1:-all}"
 
+# tunnel liveness gate: a wedged tunnel hangs every jax call forever
+# (CLAUDE.md round-3b outage) — bail out early instead of queueing kills
+if ! timeout 90 python -u -c \
+    "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.arange(8.))))" \
+    > /tmp/r3b/probe.log 2>&1; then
+  echo "!! axon tunnel unreachable (probe timed out) — aborting batch"
+  exit 3
+fi
+echo "tunnel alive: $(tail -1 /tmp/r3b/probe.log)"
+
 run() { # name timeout cmd...
   local name="$1" to="$2"; shift 2
   echo "=== $name ==="
