@@ -110,6 +110,7 @@ class PathTraceRenderer:
         self.accumulator = Accumulator.zeros(config.height, config.width)
         self.last_frame_rays = 0
         self._sample_offset = sample_offset
+        self._animate = animate
 
         cfg = config
         if cfg.debug:
@@ -163,13 +164,32 @@ class PathTraceRenderer:
                         "lamps"
                     )
 
-        def frame(scene, t, sample_base):
+        # Animated CSG tapes re-cluster per frame (scene/partition.py): the
+        # cluster tuple is static program structure, so it is computed on a
+        # HOST-SIDE CPU TWIN of the tape (never touching the accelerator
+        # queue — a device readback here would serialize frames-in-flight)
+        # and passed into the kernel; an unchanged tuple is a jit cache hit,
+        # a crossing of a cluster boundary recompiles once.
+        self._reclusters = (
+            backend == "pallas"
+            and isinstance(scene, CompiledTape)
+            and animate is not None
+        )
+        if self._reclusters:
+            self._cpu_twin = jax.device_put(scene, jax.devices("cpu")[0])
+
+        # camera is a frame ARGUMENT (a pytree of arrays, traced on the
+        # jnp path): ``set_camera`` moves the view per frame with no
+        # recompile — the interactive orbit path (app/controls.py), the
+        # analog of the reference's per-frame event poll feeding its
+        # uniform buffer (app.c:204, renderer.c:2132-2155)
+        def frame(scene, camera, t, sample_base, partition=None):
             if animate is not None:
                 scene = animate(scene, t)
             if backend == "pallas":
                 return _render_pallas(
                     scene, camera, cfg, sample_base, interpret,
-                    animated=animate is not None,
+                    animated=animate is not None, partition=partition,
                 )
             hit_fn = _hit_fn_for(scene, eps=1e-3)
             radiance, rays = integrator.render_image(
@@ -199,9 +219,31 @@ class PathTraceRenderer:
         self.accumulator = Accumulator.zeros(self.config.height, self.config.width)
         self._sample_offset = 0
 
+    def set_camera(self, camera: Camera) -> None:
+        """Swap the view for subsequent frames — no recompile (the camera
+        is a traced frame argument). Progressive accumulations of the OLD
+        view are the caller's to reset."""
+        self.camera = camera
+
+    def _recluster(self, time_sec: float):
+        """Clusters of the ANIMATED tape at ``time_sec``, computed entirely
+        on the CPU twin (host-side; the accelerator queue is untouched).
+        Returns partition_tape's tuple, or () when nothing splits —
+        render_image_tape_pallas treats () as the global evaluation."""
+        from ..scene.partition import partition_tape
+
+        with jax.default_device(jax.devices("cpu")[0]):
+            anim = self._animate(self._cpu_twin, jnp.float32(time_sec))
+            clusters = partition_tape(anim)
+        return clusters if clusters is not None else ()
+
     def draw_frame(self, time_sec: float):
+        args = (
+            (self._recluster(time_sec),) if self._reclusters else ()
+        )
         radiance, rays = self._frame(
-            self.scene, jnp.float32(time_sec), jnp.int32(self._sample_offset)
+            self.scene, self.camera, jnp.float32(time_sec),
+            jnp.int32(self._sample_offset), *args,
         )
         self.last_frame_rays = int(rays)
         if self.progressive:
@@ -227,8 +269,12 @@ class PathTraceRenderer:
         """
         if self.progressive:
             raise ValueError("progressive accumulation is synchronous")
+        args = (
+            (self._recluster(time_sec),) if self._reclusters else ()
+        )
         radiance, rays = self._frame(
-            self.scene, jnp.float32(time_sec), jnp.int32(self._sample_offset)
+            self.scene, self.camera, jnp.float32(time_sec),
+            jnp.int32(self._sample_offset), *args,
         )
         if self.advance_samples:
             self._sample_offset += self.config.spp
@@ -246,7 +292,7 @@ def _hit_fn_for(scene, eps: float = 1e-3):
 
 
 def _render_pallas(scene, camera, cfg: RenderConfig, sample_base,
-                   interpret=False, animated=False):
+                   interpret=False, animated=False, partition=None):
     if isinstance(scene, SphereScene):
         from ..kernels import render_image_pallas
 
@@ -264,10 +310,16 @@ def _render_pallas(scene, camera, cfg: RenderConfig, sample_base,
             max_bounces=cfg.max_bounces, seed=cfg.seed, sky=cfg.sky,
             lens=cfg.lens, sample_offset=sample_base, interpret=interpret,
             nee=cfg.nee,
-            # disjoint-cluster decomposition is static program structure:
-            # an ANIMATED tape would recompile whenever moving objects
-            # re-cluster — keep the global evaluation for animation
-            partition=False if animated else "auto",
+            # disjoint-cluster decomposition is static program structure.
+            # Animated tapes get a precomputed cluster tuple from the
+            # renderer's host-side CPU twin (PathTraceRenderer._recluster);
+            # an animated call WITHOUT one (direct use) keeps the global
+            # evaluation rather than re-clustering on device arrays, which
+            # would read back from the accelerator mid-pipeline.
+            partition=(
+                partition if partition is not None
+                else (False if animated else "auto")
+            ),
         )
     if isinstance(scene, MeshScene):
         from ..kernels import render_image_mesh_pallas

@@ -783,7 +783,13 @@ def render_image_tape_pallas(
     solid groups into per-cluster event evaluation (scene/partition.py) —
     O(sum L_c^2) flip work instead of O(L^2), exact under disjoint bounds
     (single-cluster scenes like config5 are untouched). False forces the
-    global evaluation.
+    global evaluation. A TUPLE is a precomputed cluster tuple (exactly
+    ``partition_tape``'s return value) used as-is — the animated path
+    (app/renderers.py) re-clusters per frame on a host-side CPU twin of
+    the tape and passes the result here; an equal tuple is the same
+    static program (jit cache hit), a changed one recompiles once.
+    An empty tuple means "reclustering ran and found nothing to split"
+    (global evaluation).
     """
     if not jitter:
         raise NotImplementedError("tape kernel always jitters")
@@ -815,7 +821,9 @@ def render_image_tape_pallas(
         lambda: pack_camera(camera),
     )
     clusters = None
-    if partition in (True, "auto"):
+    if isinstance(partition, tuple):
+        clusters = partition if partition else None
+    elif partition in (True, "auto"):
         from ..scene.partition import partition_tape
 
         clusters = device_cache(
