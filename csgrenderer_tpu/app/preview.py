@@ -28,13 +28,22 @@ client, each blocking on a Condition until a new frame publishes, so an
 idle preview costs nothing and a slow client only skips frames (the
 buffer holds the LATEST frame, never a queue — same drop-late semantics
 as a real swapchain in mailbox mode).
+
+Input events (round 4 — the reference's ``glfwPollEvents``/window-close
+path, app.c:204/136): the page sends drag/wheel/key events to
+``GET /input?type=...``; they land in a bounded host-side queue the App
+drains via ``poll_events()`` each fixed-timestep tick (app/controls.py
+wires them into an orbit camera). The queue drops OLDEST on overflow —
+stale input is worthless, same drop-late policy as the frame buffer.
 """
 
 from __future__ import annotations
 
+import collections
 import io
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
@@ -42,8 +51,29 @@ _INDEX_HTML = b"""<!doctype html>
 <html><head><title>csgrenderer-tpu live preview</title>
 <style>body{background:#111;margin:0;display:flex;align-items:center;
 justify-content:center;height:100vh}img{max-width:100%;max-height:100%;
-image-rendering:pixelated}</style></head>
-<body><img src="/stream" alt="live render"></body></html>
+image-rendering:pixelated;cursor:grab;user-select:none;
+-webkit-user-drag:none}</style></head>
+<body><img id="v" src="/stream" alt="live render" draggable="false">
+<script>
+const send = q => fetch('/input?' + q).catch(() => {});
+const v = document.getElementById('v');
+let drag = null;
+v.addEventListener('mousedown', e => { drag = [e.clientX, e.clientY]; });
+window.addEventListener('mouseup', () => { drag = null; });
+window.addEventListener('mousemove', e => {
+  if (!drag) return;
+  const dx = e.clientX - drag[0], dy = e.clientY - drag[1];
+  drag = [e.clientX, e.clientY];
+  if (dx || dy) send(`type=orbit&dyaw=${-dx * 0.008}&dpitch=${dy * 0.006}`);
+});
+v.addEventListener('wheel', e => {
+  e.preventDefault();
+  send(`type=orbit&dzoom=${e.deltaY > 0 ? 0.5 : -0.5}`);
+}, {passive: false});
+window.addEventListener('keydown', e =>
+  send('type=key&code=' + encodeURIComponent(e.key)));
+window.addEventListener('beforeunload', () => send('type=close'));
+</script></body></html>
 """
 
 
@@ -89,6 +119,9 @@ class PreviewServer:
         self._seq = 0
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        # bounded input queue; deque append/popleft are thread-safe and
+        # maxlen drops OLDEST on overflow (stale input is worthless)
+        self._events: collections.deque = collections.deque(maxlen=256)
 
     # -- publishing ------------------------------------------------------
 
@@ -115,6 +148,22 @@ class PreviewServer:
         """App.frame_sink adapter (drops the index)."""
         self.publish(np.asarray(image))
 
+    # -- input events ------------------------------------------------------
+
+    def push_event(self, event: dict) -> None:
+        """Enqueue one input event (also callable from tests/scripts)."""
+        self._events.append(event)
+
+    def poll_events(self) -> list[dict]:
+        """Drain pending input events, oldest first — the ``glfwPollEvents``
+        analog, called from the App update callback (app/controls.attach)."""
+        out = []
+        while True:
+            try:
+                out.append(self._events.popleft())
+            except IndexError:
+                return out
+
     # -- serving ---------------------------------------------------------
 
     def start(self) -> tuple[str, int]:
@@ -127,7 +176,16 @@ class PreviewServer:
                 pass
 
             def do_GET(self):
-                if self.path in ("/", "/index.html"):
+                if self.path.startswith("/input"):
+                    q = parse_qs(urlparse(self.path).query)
+                    ev = {k: v[0] for k, v in q.items() if v}
+                    if ev.get("type") in ("key", "orbit", "close"):
+                        outer.push_event(ev)
+                        self.send_response(204)
+                    else:
+                        self.send_response(400)
+                    self.end_headers()
+                elif self.path in ("/", "/index.html"):
                     self.send_response(200)
                     self.send_header("Content-Type", "text/html")
                     self.send_header("Content-Length",

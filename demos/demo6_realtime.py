@@ -117,6 +117,35 @@ def main(argv=None):
     )
     app.swap_scene(renderer)
 
+    # browser-driven camera (round 4): drag to orbit, wheel to dolly,
+    # Escape to quit — the reference's event poll + window close
+    # (app.c:204, 136), delivered over the preview page's /input endpoint
+    if preview is not None and args.scene != "wololo":
+        from csgrenderer_tpu.app.controls import OrbitController, attach
+
+        rig = OrbitController.from_camera(
+            cam.origin.tolist() if hasattr(cam, "origin") else (13, 2, 3),
+            (0, 0, 0) if args.scene == "rtiow" else (0.0, 0.6, 0.0),
+            vfov_degrees=20.0 if args.scene == "rtiow" else 32.0,
+            aspect_ratio=aspect,
+            aperture=0.1 if args.scene == "rtiow" else 0.0,
+            focus_dist=10.0 if args.scene == "rtiow" else None,
+        )
+        attach(app, renderer, preview, rig)
+        print("[csgr] demo6: interactive — drag to orbit, wheel to zoom, "
+              "Esc to quit")
+    elif preview is not None:
+        # wololo's camera is the shader's fixed one; still honor close/Esc
+        def _close_watch(app_, dt):
+            for ev in preview.poll_events():
+                if ev.get("type") == "close" or (
+                    ev.get("type") == "key"
+                    and ev.get("code") in ("Escape", "q")
+                ):
+                    app_.stop()
+
+        app.update_cb = _close_watch
+
     # warm up the jit so the compile doesn't pollute the fps measurement
     np.asarray(renderer.draw_frame(0.0))
 

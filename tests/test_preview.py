@@ -78,3 +78,43 @@ def test_stream_delivers_published_frames():
         assert len(got["frame"]) > 0
     finally:
         srv.stop()
+
+
+def test_input_endpoint_enqueues_events():
+    """Round 4: browser input (app.c:204's poll analog). /input events land
+    in the queue in order; bad types are rejected; poll_events drains."""
+    srv = PreviewServer(port=0)
+    try:
+        host, port = srv.start()
+
+        def get(q):
+            req = urllib.request.Request(f"http://{host}:{port}/input?{q}")
+            try:
+                with urllib.request.urlopen(req, timeout=5) as r:
+                    return r.status
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        assert get("type=key&code=Escape") == 204
+        assert get("type=orbit&dyaw=0.1&dpitch=-0.05&dzoom=0.5") == 204
+        assert get("type=close") == 204
+        assert get("type=evil") == 400
+        assert get("nonsense=1") == 400
+        evs = srv.poll_events()
+        assert [e["type"] for e in evs] == ["key", "orbit", "close"]
+        assert evs[0]["code"] == "Escape"
+        assert float(evs[1]["dyaw"]) == 0.1
+        assert srv.poll_events() == []  # drained
+    finally:
+        srv.stop()
+
+
+def test_index_page_sends_input():
+    srv = PreviewServer(port=0)
+    try:
+        host, port = srv.start()
+        with urllib.request.urlopen(f"http://{host}:{port}/", timeout=5) as r:
+            page = r.read()
+        assert b"/input?" in page and b"mousedown" in page
+    finally:
+        srv.stop()
