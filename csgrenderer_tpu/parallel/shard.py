@@ -117,6 +117,8 @@ def render_scene_sharded(
     backend: str = "auto",
     interpret: bool = False,
     nee: bool = False,
+    worklist: bool | str = "auto",
+    gather_pages: int = 4,
 ):
     """Scene-level sharded render: Pallas kernels inside shard_map.
 
@@ -132,7 +134,10 @@ def render_scene_sharded(
     next-event estimation toward the scene's lamps (emissive spheres of
     a SphereScene/CompiledTape, emissive faces of a MeshScene) —
     sharding-invariant like everything else (NEE RNG is keyed by global
-    pixel/sample counters).
+    pixel/sample counters). ``worklist``/``gather_pages``: MeshScene
+    traversal-mode knobs forwarded to render_image_mesh_pallas (so the
+    stream demand-paged gather and the HBM-resident tables run under the
+    production shardings too; ignored for other scene types).
     """
     import jax as _jax
 
@@ -206,7 +211,8 @@ def render_scene_sharded(
             from ..kernels import render_image_mesh_pallas
 
             radiance, rays = render_image_mesh_pallas(
-                scene, camera, width, height, nee=nee, **kwargs
+                scene, camera, width, height, nee=nee,
+                worklist=worklist, gather_pages=gather_pages, **kwargs
             )
         else:
             raise TypeError(f"unsupported scene type {type(scene)}")
