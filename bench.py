@@ -119,7 +119,24 @@ def main():
         help="measure p50 frame time at 16 spp (second compile); "
         "--no-p50 estimates it from the throughput run instead",
     )
+    ap.add_argument(
+        "--p50-chunks", type=int, default=1,
+        help="split the 16-spp p50 frame into this many spp-chunked "
+        "dispatches enqueued back-to-back before the single fence "
+        "readback (exact under sample_offset composition). MEASURED "
+        "NEGATIVE on the tunneled v5e (doc/PERF_NOTES round 4): 4 "
+        "chunks = 280 ms vs ~205 single-launch — per-dispatch queue "
+        "overhead exceeds any floor overlap, so the default stays 1.",
+    )
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (JAX_PLATFORMS is ignored under the "
+        "axon plugin — this is the safe way to sanity-run bench while a "
+        "TPU process is active; pairs with --quick)",
+    )
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     # Device liveness watchdog: the axon tunnel can wedge for HOURS
     # (CLAUDE.md round-3b outage) and a dead tunnel makes jax.devices()
@@ -166,11 +183,32 @@ def main():
 
     # --- secondary: p50 frame time at 16 spp (opt-in: costs a 2nd compile) ---
     if args.p50:
-        fn16 = build_renderer(
-            width, height, 16 if not args.quick else 2, bounces, backend
-        )
-        int(fn16(jnp.uint32(0))[1])  # compile + warm up
-        t16, _ = time_frames(fn16, max(args.frames, 3))
+        spp16 = 16 if not args.quick else 2
+        chunks = max(1, min(args.p50_chunks, spp16))
+        while spp16 % chunks:
+            chunks -= 1
+        spp_c = spp16 // chunks
+        fn16 = build_renderer(width, height, spp_c, bounces, backend)
+
+        def frame16(base):
+            # enqueue ALL chunks, then accumulate on device; the ONE
+            # scalar fence below depends on every chunk, so nothing
+            # escapes the timed window. Equal-spp chunk means compose
+            # exactly: mean of chunk means == the 16-spp mean, and the
+            # counter-based RNG makes disjoint sample_offsets disjoint
+            # sample sets (tools/validate_tpu.py composes the same way).
+            outs = [
+                fn16(base + jnp.uint32(c * spp_c)) for c in range(chunks)
+            ]
+            img = outs[0][0]
+            rays = outs[0][1]
+            for o in outs[1:]:
+                img = img + o[0]
+                rays = rays + o[1]
+            return img / chunks, rays
+
+        int(frame16(jnp.uint32(0))[1])  # compile + warm up
+        t16, _ = time_frames(frame16, max(args.frames, 3))
         p50_ms = round(statistics.median(t16) * 1e3, 2)
     else:
         # estimate from the throughput config (spp-proportional workload)
