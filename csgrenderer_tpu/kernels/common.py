@@ -874,6 +874,7 @@ def grid_wavefront(
     nee_sample=None,
     nee_mis_scale=None,
     walk_t_out_index=None,
+    unroll: int = 1,
 ):
     """The fused-DDA wavefront loop shared by the grid-worklist kernels
     (sphere megakernel, triangle-mesh kernel).
@@ -1211,10 +1212,15 @@ def grid_wavefront(
     # CSGR_WAVE_PAD=N: N extra value-dependent planes threaded through
     # the carry (each costs one add/iter + its carry residency) — the
     # ns/iter slope over N measures the marginal loop-state cost.
-    # CSGR_WAVE_UNROLL=K: K wave_steps per while iteration — halving/
-    # quartering the cond-reduction + backedge count isolates the loop-
-    # boundary cost (wave_step is state->state pure, so output is
-    # IDENTICAL; iters still counts steps).
+    # CSGR_WAVE_UNROLL=K: K wave_steps per while iteration (overrides the
+    # ``unroll`` parameter) — the while-loop BOUNDARY (cond reduction +
+    # backedge) measured ~306 ns/iter, 29% of the sphere path's
+    # per-iteration cost (doc/PERF_NOTES round 4), so the sphere caller
+    # defaults unroll=4; wave_step is state->state pure and idle on
+    # completed lanes, so output is IDENTICAL at any K (iters still
+    # counts steps). Mesh callers keep 1: their iterations are 10-27 us
+    # (service-dominated) and K-plicating the service trace only bloats
+    # the compile.
     import os as _os
 
     pad_n = int(_os.environ.get("CSGR_WAVE_PAD", "0"))
@@ -1223,7 +1229,7 @@ def grid_wavefront(
             local_pix.astype(jnp.float32) * 0.0 + np.float32(i)
             for i in range(pad_n)
         )
-    unroll = int(_os.environ.get("CSGR_WAVE_UNROLL", "1"))
+    unroll = int(_os.environ.get("CSGR_WAVE_UNROLL", str(unroll)))
     if unroll > 1:
         def wave_body(st):
             for _ in range(unroll):
