@@ -1097,20 +1097,22 @@ def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps,
     ``ci``: [8,128] f32 FIRST-chunk ids (PAD_CI for empty/inactive).
     ``to``: corner-relative ray origins. Returns (t_cand, attr planes).
 
-    ``gs.gather_pages`` = k pages served per trip, TILE-GLOBAL: the k
-    SMALLEST distinct pending pages across all 8 row groups are found
-    with k masked global mins, their [rr, 128] page-major slabs (one
-    8-aligned SUBLANE-dim dynamic slice each — the [R, W] lane-dim slice
-    plus its per-group scalar reads measured ~10 us/trip,
-    tools/exp_slab.py) concatenate into ONE shared [rr, k*128] operand,
-    and each row group pays a single wide dot against its concatenated
-    k-page one-hot — a lane's column is set in at most one page block
-    (its own), so the MT / flag / bookkeeping cost stays that of a
-    single serve. Trips with fewer than k distinct pending pages burn
-    the spare slabs on a clamped repeat page with an all-(-1) local
-    (zero one-hot). BLOCK pixel assignment (trimesh_kernel.slot_pixel)
-    keeps a tile's rays in few Morton-ordered pages, which is what makes
-    tile-global page voting converge in ~1-2 trips.
+    ``gs.gather_pages`` = k pages served per trip, voted PER ROW GROUP
+    (round 4): each group finds its own k SMALLEST distinct pending
+    pages with k masked [1,128] mins, slices their [rr, 128] page-major
+    slabs (8-aligned SUBLANE-dim dynamic slices, 2-4x cheaper than the
+    lane-dim slice of the old [R, W] layout, tools/exp_slab.py),
+    concatenates them into a [rr, k*128] operand and pays a single wide
+    dot against its concatenated k-page one-hot — a lane's column is
+    set in at most one page block (its own), so the MT / flag /
+    bookkeeping cost stays that of a single serve. Trips with fewer
+    than k distinct pending pages burn the spare slabs on a clamped
+    repeat page with an all-(-1) local (zero one-hot). A TILE-GLOBAL
+    top-k (one shared slab set) was measured WORSE — 2.53 trips/iter vs
+    per-group's 1.56 at the same ~10 us/trip, 15k stream 11.6 -> 7.8
+    Mrays/s (doc/PERF_NOTES round 4): BLOCK pixel assignment
+    (trimesh_kernel.slot_pixel) keeps PRIMARY rays in few Morton pages,
+    but bounced rays scatter and a global top-k starves most groups.
 
     ``gs.hbm_table`` (phase B): ``tab`` is an HBM (ANY-space) ref; each
     trip DMAs the k served slabs into ``scratch`` (VMEM, [k*rr_pad,
@@ -1148,65 +1150,15 @@ def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps,
         cur, nd, t_c, trips = c[0], c[1], c[2], c[3]
         attrs_c = c[4:]
         ndb = nd > 0
-        # k SMALLEST distinct pending pages across the TILE: k masked
-        # global reductions (0-d values stay in vregs for the compares;
-        # only the slab index pays a vreg->sreg read, k per trip total)
         pg = jnp.where(ndb, jnp.floor(cur * inv128), pbig)  # [8,128]
-        p_js = []
-        locals_ = []
-        p_is = []
-        rem = pg
-        for _ in range(k_pages):
-            p_j = jnp.min(rem)  # 0-d
-            rem = jnp.where(pg == p_j, pbig, rem)
-            # local chunk column within this served page; -1 parks the
-            # off-page lanes (their one-hot matches nothing -> zero
-            # slots -> Moller-Trumbore rejects via the det=0 NaN route)
-            locals_.append(jnp.where(
-                ndb & (pg == p_j),
-                cur - p_j * np.float32(128.0), np.float32(-1.0),
-            ))
-            p_is.append(
-                jnp.minimum(p_j, pbig - 1.0).astype(jnp.int32)
-            )
-            p_js.append(p_j)
-        if gs.hbm_table and scratch is not None:
-            # phase B: DMA the k slabs HBM -> VMEM scratch; start every
-            # copy before the first wait so the latencies overlap
-            from jax.experimental import pallas as pl
-            from jax.experimental.pallas import tpu as pltpu
-
-            copies = []
-            for j, p_i in enumerate(p_is):
-                cp = pltpu.make_async_copy(
-                    tab.at[pl.ds(p_i * rr_pad, rr_pad), :],
-                    scratch.at[j * rr_pad : (j + 1) * rr_pad, :],
-                    sem,
-                )
-                cp.start()
-                copies.append(cp)
-            for cp in copies:
-                cp.wait()
-            slabs = [
-                scratch[j * rr_pad : (j + 1) * rr_pad, :]
-                for j in range(k_pages)
-            ]
-        else:
-            slabs = [_page_slab(tab, p_i, rr_pad) for p_i in p_is]
-        # {p_1..p_k} are exactly the k smallest distinct pending pages,
-        # so a pending lane is served this trip iff pg <= p_k
-        on_p = ndb & (pg <= p_js[-1])
-        slab_cat = (
-            slabs[0] if k_pages == 1
-            else jnp.concatenate(slabs, axis=1)
-        )  # [rr_pad, k*128], shared by all 8 row groups
         iota_f = jax.lax.broadcasted_iota(
             jnp.int32, (128, TILE_LANES), 0
         ).astype(jnp.float32)
         tc_rows = []
         flag_rows = []
         a_rows: list = [[] for _ in range(N_ATTRS)]
-        for g in range(TILE_ROWS):
+
+        def serve_group(g, slab_cat, locals_g):
             # per-lane chunk-column extraction by ONE wide one-hot MXU
             # pass over the k concatenated page slabs: a lane's one-hot
             # rows are nonzero only inside its own page's 128-block.
@@ -1218,12 +1170,12 @@ def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps,
             # Keep the dot.)
             onehot = jnp.concatenate(
                 [
-                    (iota_f == local[g : g + 1]).astype(slab_cat.dtype)
-                    for local in locals_
+                    (iota_f == local).astype(slab_cat.dtype)
+                    for local in locals_g
                 ],
                 axis=0,
             ) if k_pages > 1 else (
-                iota_f == locals_[0][g : g + 1]
+                iota_f == locals_g[0]
             ).astype(slab_cat.dtype)
             got = jax.lax.dot_general(
                 slab_cat, onehot, (((1,), (0,)), ((), ())),
@@ -1242,6 +1194,91 @@ def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps,
             tc_rows.append(tc_g)
             for j in range(N_ATTRS):
                 a_rows[j].append(at_g[j])
+
+        def vote(pg_m, ndb_m, cur_m):
+            """k smallest distinct pending pages of the [*,128] mask
+            region: (locals rows, int32 page ids, last page). -1 locals
+            park off-page lanes (one-hot matches nothing -> zero slots
+            -> Moller-Trumbore rejects via the det=0 NaN route)."""
+            rem = pg_m
+            locals_v, p_is_v, p_last = [], [], None
+            for _ in range(k_pages):
+                p_j = jnp.min(rem)  # 0-d; stays in a vreg for compares
+                rem = jnp.where(pg_m == p_j, pbig, rem)
+                locals_v.append(jnp.where(
+                    ndb_m & (pg_m == p_j),
+                    cur_m - p_j * np.float32(128.0), np.float32(-1.0),
+                ))
+                p_is_v.append(
+                    jnp.minimum(p_j, pbig - 1.0).astype(jnp.int32)
+                )
+                p_last = p_j
+            return locals_v, p_is_v, p_last
+
+        if gs.hbm_table and scratch is not None:
+            # phase B keeps TILE-GLOBAL voting: the k served slabs are
+            # DMA'd HBM -> VMEM once per trip and shared by all 8 row
+            # groups (per-group voting would need 8x the scratch and
+            # DMAs; at HBM scale the dense-map lookup dominates anyway)
+            locals_, p_is, p_last = vote(pg, ndb, cur)
+            from jax.experimental import pallas as pl
+            from jax.experimental.pallas import tpu as pltpu
+
+            # start every copy before the first wait: latencies overlap
+            copies = []
+            for j, p_i in enumerate(p_is):
+                cp = pltpu.make_async_copy(
+                    tab.at[pl.ds(p_i * rr_pad, rr_pad), :],
+                    scratch.at[j * rr_pad : (j + 1) * rr_pad, :],
+                    sem,
+                )
+                cp.start()
+                copies.append(cp)
+            for cp in copies:
+                cp.wait()
+            slabs = [
+                scratch[j * rr_pad : (j + 1) * rr_pad, :]
+                for j in range(k_pages)
+            ]
+            # tile-served set = the k smallest pending pages, so a
+            # pending lane is served this trip iff pg <= p_last
+            on_p = ndb & (pg <= p_last)
+            slab_cat = (
+                slabs[0] if k_pages == 1
+                else jnp.concatenate(slabs, axis=1)
+            )  # [rr_pad, k*128], shared by all 8 row groups
+            for g in range(TILE_ROWS):
+                serve_group(
+                    g, slab_cat, [loc[g : g + 1] for loc in locals_]
+                )
+        else:
+            # VMEM tables vote PER ROW GROUP (round 4): each group
+            # serves its own k smallest pending pages. The tile-global
+            # restructure measured 2.53 trips/iter vs per-group's 1.56
+            # (same ~10 us/trip) — 15k-face stream 11.6 -> 7.8 Mrays/s,
+            # 61k 5.8 -> 2.9 (doc/PERF_NOTES round 4): after the first
+            # bounce a tile's rays scatter across many Morton pages, so
+            # a global top-k starves most groups. Per-group voting costs
+            # 8x the [1,128] reductions + 8k sublane-dim slab slices,
+            # which the measured trip cost absorbs.
+            on_rows = []
+            for g in range(TILE_ROWS):
+                pg_g = pg[g : g + 1]
+                locals_g, p_is_g, p_last = vote(
+                    pg_g, ndb[g : g + 1], cur[g : g + 1]
+                )
+                slabs = [_page_slab(tab, p_i, rr_pad) for p_i in p_is_g]
+                slab_cat = (
+                    slabs[0] if k_pages == 1
+                    else jnp.concatenate(slabs, axis=1)
+                )  # [rr_pad, k*128], this group's pages
+                # int32 rows: Mosaic cannot concatenate i1 vregs
+                # ("Invalid vector register cast", bitcast i1 -> i32)
+                on_rows.append(
+                    (ndb[g : g + 1] & (pg_g <= p_last)).astype(jnp.int32)
+                )
+                serve_group(g, slab_cat, locals_g)
+            on_p = jnp.concatenate(on_rows, axis=0) > 0
         # merge + chain bookkeeping, all in [8,128] block form
         tc = jnp.where(on_p, jnp.concatenate(tc_rows, axis=0), big)
         flag = jnp.concatenate(flag_rows, axis=0)  # [8,128] int32
