@@ -263,7 +263,7 @@ def shade_and_advance(
 
 def classic_wavefront(
     bounce_step, camera_rays, spp, max_bounces, in_image, sample_offset_u,
-    extra0=None, rotate=None,
+    extra0=None, rotate=None, unroll: int = 1,
 ):
     """The per-lane wavefront loop shared by the brute megakernel and the
     CSG tape kernel: every lane regenerates a new camera sample the moment
@@ -390,7 +390,23 @@ def classic_wavefront(
             out["extra"] = extra
         return out
 
-    return jax.lax.while_loop(wave_cond, wave_step, state0)
+    # ``unroll``: K bounce-steps per while iteration, amortizing the loop
+    # BOUNDARY (scalar cond reduction + backedge, measured ~306 ns/iter on
+    # the grid path — doc/PERF_NOTES round 4). wave_step is pure and idle
+    # on lanes with nothing to do, so output is bit-identical at any K.
+    # CSGR_WAVE_UNROLL overrides for census runs.
+    import os as _os
+
+    unroll = int(_os.environ.get("CSGR_WAVE_UNROLL", str(unroll)))
+    if unroll > 1:
+        def wave_body(st):
+            for _ in range(unroll):
+                st = wave_step(st)
+            return st
+    else:
+        wave_body = wave_step
+
+    return jax.lax.while_loop(wave_cond, wave_body, state0)
 
 
 def nee_sample_planes(

@@ -3,7 +3,7 @@
 # ONE TPU process at a time (strictly sequential). Logs in /tmp/r4/.
 #
 #   bash tools/tpu_round4_batch.sh [phase]
-# phases: mesh census unroll fidelity all (default: all)
+# phases: mesh census unroll tape fidelity all (default: all)
 
 set -u
 cd "$(dirname "$0")/.."
@@ -58,6 +58,16 @@ if [ "$P" = unroll ] || [ "$P" = all ]; then
   CSGR_WAVE_UNROLL=2 run bench_unroll2 1200 python -u bench.py --no-p50
   CSGR_WAVE_UNROLL=4 run bench_unroll4 1200 python -u bench.py --no-p50
   run bench_base 1200 python -u bench.py
+fi
+
+if [ "$P" = tape ] || [ "$P" = all ]; then
+  # classic_wavefront unroll on the tape kernel (config5) + clusters
+  run tape_base 900 python -u tools/bench_tape.py
+  CSGR_WAVE_UNROLL=2 run tape_unroll2 900 python -u tools/bench_tape.py
+  CSGR_WAVE_UNROLL=4 run tape_unroll4 900 python -u tools/bench_tape.py
+  run tape_many 900 python -u tools/bench_tape.py --scene many
+  CSGR_WAVE_UNROLL=4 run tape_many_unroll4 900 python -u \
+    tools/bench_tape.py --scene many
 fi
 
 if [ "$P" = fidelity ] || [ "$P" = all ]; then
