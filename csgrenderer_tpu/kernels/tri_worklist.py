@@ -841,6 +841,17 @@ def pack_tri_grid(
 # ---------------------------------------------------------------------------
 
 
+def _vote_mode():
+    """Stream-service page-vote formulation (census knob): "pergroup" =
+    8 independent [1,128] min-reduction loops (round-3 measured path);
+    "block" = the same per-group vote computed as k row-wise [8,1] lane
+    reductions over the full plane (candidate fix for the ~10.4 us/trip
+    scalar-sync cost — doc/PERF_NOTES round 4)."""
+    import os as _os
+
+    return _os.environ.get("CSGR_STREAM_VOTE", "pergroup")
+
+
 def _page_slab(tab, page, rows_pad):
     """[rows_pad, 128] slab of PAGE-MAJOR table ``tab`` (page p occupies
     rows [p*rows_pad, (p+1)*rows_pad), rows_pad 8-aligned) at DYNAMIC
@@ -1250,6 +1261,47 @@ def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps,
             for g in range(TILE_ROWS):
                 serve_group(
                     g, slab_cat, [loc[g : g + 1] for loc in locals_]
+                )
+        elif _vote_mode() == "block":
+            # VMEM tables, BLOCK-FORM per-group voting (round 4): the
+            # semantics are identical to the per-group loop below (each
+            # row group serves its own k smallest distinct pending
+            # pages), but the vote itself runs as k ROW-WISE lane
+            # reductions over the full [8,128] plane (`min(axis=1)` ->
+            # [8,1]) + full-block selects, instead of 8k separate
+            # [1,128]-plane->scalar min reductions at 1/8 VPU occupancy
+            # — the round-3 census's ~10.4 us/trip is dominated by
+            # exactly those scalar-sync reductions (the cluster-culling
+            # ablation measured the same plane->scalar cost class). Only
+            # the slab dynamic-slice STARTS still need scalars: one
+            # [8,1]-element vreg->sreg read per (group, page).
+            rem = pg
+            locals_all, p_rows = [], []
+            for _ in range(k_pages):
+                p_j = jnp.min(rem, axis=1, keepdims=True)  # [8,1]
+                sel = pg == p_j
+                rem = jnp.where(sel, pbig, rem)
+                locals_all.append(jnp.where(
+                    ndb & sel, cur - p_j * np.float32(128.0),
+                    np.float32(-1.0),
+                ))
+                p_rows.append(jnp.minimum(p_j, pbig - 1.0))
+            on_p = ndb & (pg <= p_rows[-1])  # [8,128] block form
+            for g in range(TILE_ROWS):
+                slabs = [
+                    _page_slab(
+                        tab, p_rows[j][g, 0].astype(jnp.int32), rr_pad
+                    )
+                    for j in range(k_pages)
+                ]
+                slab_cat = (
+                    slabs[0] if k_pages == 1
+                    else jnp.concatenate(slabs, axis=1)
+                )  # [rr_pad, k*128], this group's pages
+                serve_group(
+                    g,
+                    slab_cat,
+                    [loc[g : g + 1] for loc in locals_all],
                 )
         else:
             # VMEM tables vote PER ROW GROUP (round 4): each group
