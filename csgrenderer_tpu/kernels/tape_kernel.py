@@ -682,9 +682,16 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix,
         # (megakernel) are the opposite case. Keep the plain loop.
         zero_i = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32)
         zero_f = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.float32)
+        # loop-boundary amortization (doc/PERF_NOTES round-4b): unroll=4
+        # lifted config5 295 -> 386 Mrays/s at 16 spp, but the duplicated
+        # body's live temporaries exceed the v5e 16 MB scoped-VMEM limit
+        # on big tapes (99-leaf many-objects scene OOM'd by 80 KB at
+        # unroll=4; unroll=2 fits and measured 45.6 -> 46.8). Small tapes
+        # take 4, big ones 2; CSGR_WAVE_UNROLL overrides either way.
         state = classic_wavefront(
             bounce_step, camera_rays, spp, max_bounces, in_image,
             sample_offset.astype(jnp.uint32), extra0=(zero_i, zero_f),
+            unroll=4 if len(leaf_scal) <= 24 else 2,
         )
         out_r_ref[:] = state["rad"][0]
         out_g_ref[:] = state["rad"][1]

@@ -491,8 +491,16 @@ def pack_tri_grid(
     best_t = None  # tiered whole-table gather plan
     best_s = None  # stream (single Morton tier, paged gather) plan
     best_h = None  # stream plan with HBM-resident table (phase B)
+    import os as _os
+
+    # census knob: pin the stream plan to one cell-ladder rung (the
+    # packer's score omits column efficiency — lanes served per page —
+    # so the rung sweep must be measured, doc/PERF_NOTES round 4)
+    _force_ns = int(_os.environ.get("CSGR_STREAM_NSIDE", "0"))
     for n_side in (3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32, 40, 48, 64):
-        have = (best_t is not None) and (best_s is not None or not stream_ok)
+        have = (best_t is not None) and (
+            best_s is not None or not stream_ok
+        ) and not (_force_ns and best_s is None)
         if have and n_side > 24:
             # the fine rungs exist for DENSE meshes (10k+ faces) whose
             # coarser cells overflow m_max everywhere; when a coarser
@@ -537,6 +545,8 @@ def pack_tri_grid(
         if int(big_face.sum()) > max_globals or not lists:
             continue
         occs = np.asarray([len(l) for l in lists.values()])
+        if stream_ok and _force_ns and n_side != _force_ns:
+            continue
         if stream_ok:
             # stream plan: CHAINED fixed-size chunks — every cell's faces
             # split into q-slot chunks (q*N_SECTIONS + 1 flag row packed
@@ -849,7 +859,7 @@ def _vote_mode():
     scalar-sync cost — doc/PERF_NOTES round 4)."""
     import os as _os
 
-    return _os.environ.get("CSGR_STREAM_VOTE", "pergroup")
+    return _os.environ.get("CSGR_STREAM_VOTE", "block")
 
 
 def _page_slab(tab, page, rows_pad):
