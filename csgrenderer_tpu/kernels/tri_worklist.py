@@ -559,7 +559,14 @@ def pack_tri_grid(
             # this).
             fits = False
             hbm = False
-            for q_s in (_STREAM_Q2, _STREAM_Q):
+            # census knob: force the 1-block chunk (q=6, rr=115 — half
+            # the per-serve MACs, ~1.67x the chain length at 15k)
+            _q_opts = (
+                (_STREAM_Q,)
+                if _os.environ.get("CSGR_STREAM_Q1")
+                else (_STREAM_Q2, _STREAM_Q)
+            )
+            for q_s in _q_opts:
                 chunks_per_cell = np.ceil(occs / q_s)
                 n_chunks = int(chunks_per_cell.sum())
                 w_est = int(np.ceil(n_chunks / 128.0)) * 128
@@ -1097,6 +1104,107 @@ def _mt_slots(got, m, row_ctx, eps):
     return tc_min, a_tier
 
 
+def _stream_sort_on():
+    """Round-4 census knob: sublane page-sort binning for the stream
+    service (CSGR_STREAM_SORT=1). Default off until measured."""
+    import os as _os
+
+    return _os.environ.get("CSGR_STREAM_SORT", "0") == "1"
+
+
+def _hbm_vote_mode():
+    """Phase-B (HBM table) vote mode: "global" = tile-global top-k, one
+    shared DMA'd slab set, every group dots all k slabs (round 3b).
+    "block" = per-group block vote with per-(group, page) DMAs — 8x the
+    DMA starts but each group dots only its OWN k slabs; the 245k census
+    measured the shared-set dots at ~92 of 141 us/iter (8 groups x 8
+    pages x 5.8 trips), so cutting dots 4x for ~2x DMA volume is the
+    right trade once the sublane sort concentrates per-group demand."""
+    import os as _os
+
+    return _os.environ.get("CSGR_HBM_VOTE", "global")
+
+
+def _apply_row_perm(idx, planes):
+    """Row gather: dst[r, c] = src[idx[r, c], c] for each [8,128] plane.
+
+    A per-column permutation of the 8 sublane rows, applied as 8 static
+    sublane rotates + masked selects (~16 VPU ops/plane) — no cross-lane
+    traffic, Mosaic-friendly (static shifts only)."""
+    riota = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 0)
+    delta = (idx - riota) & 7
+    outs = [None] * len(planes)
+    for d8 in range(8):
+        m = delta == d8
+        for j, p in enumerate(planes):
+            # shift-0 must bypass jnp.roll: its static lowering emits a
+            # zero-size slice Mosaic rejects ("positive constant sizes")
+            r = p if d8 == 0 else jnp.roll(p, -d8, axis=0)
+            outs[j] = r if outs[j] is None else jnp.where(m, r, outs[j])
+    return outs
+
+
+def _undo_row_perm(idx, planes):
+    """Row scatter (inverse of _apply_row_perm): out[idx[r, c], c] =
+    src[r, c]. Uses the identity roll(idx, d)[r] == r  <=>  the value for
+    output row r sits d rows up in the permuted layout — same 8 rotates +
+    selects, no materialized inverse permutation."""
+    riota = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 0)
+    outs = [None] * len(planes)
+    for d8 in range(8):
+        m = (idx if d8 == 0 else jnp.roll(idx, d8, axis=0)) == riota
+        for j, p in enumerate(planes):
+            r = p if d8 == 0 else jnp.roll(p, d8, axis=0)
+            outs[j] = r if outs[j] is None else jnp.where(m, r, outs[j])
+    return outs
+
+
+def _sublane_sort8(key, payloads):
+    """Sort each lane column's 8 sublane rows ascending by ``key``
+    ([8,128] f32), carrying ``payloads`` (list of [8,128] planes).
+
+    WHY (round 4, doc/PERF_NOTES): the stream service's cost is the
+    per-(row group, distinct page) MXU serve dots — measured ~87% of
+    wall time at 15k faces, with only ~21 of each served page's 128
+    lane-columns wanted. The tile-global experiment showed the TILE
+    collectively wants only ~10 distinct pages/iteration, but they are
+    scattered across all 8 row groups (bounced rays land anywhere), so
+    per-group voting pays ~6 serves/group. Sorting each column's 8 lanes
+    by chunk id re-bins like pages into the same row group (row r holds
+    each column's rank-r page — order statistics concentrate), cutting
+    distinct pages per group toward ~10/8 + 1. The service is
+    lane-independent, so permuting its inputs and un-permuting its
+    outputs is bit-exact; the sort itself is a bitonic sort-8 network of
+    static sublane rotates + selects (~60 [8,128] VPU ops, ~0.2 us/iter
+    against a multi-us serve saving).
+
+    Returns (sorted key, sorted payloads, idx) with idx[r, c] = source
+    row of sorted row r (int32), for _undo_row_perm on the outputs."""
+    riota = jax.lax.broadcasted_iota(jnp.int32, key.shape, 0)
+    idx = riota
+    for blk in (2, 4, 8):
+        s = blk // 2
+        while s >= 1:
+            # bitonic XOR pairing: partner(r) = r ^ s, reached by a -s
+            # rotate on bit-clear rows and a +s rotate on bit-set rows
+            bit0 = (riota & s) == 0
+            part = jnp.where(
+                bit0, jnp.roll(key, -s, axis=0), jnp.roll(key, s, axis=0)
+            )
+            p_idx = jnp.where(
+                bit0, jnp.roll(idx, -s, axis=0), jnp.roll(idx, s, axis=0)
+            )
+            asc = (riota & blk) == 0  # blk=8: always True for r < 8
+            take_min = bit0 == asc
+            # strict comparison: ties keep self on both sides, so key
+            # and carried idx stay consistent
+            swap = jnp.where(take_min, part < key, part > key)
+            key = jnp.where(swap, part, key)
+            idx = jnp.where(swap, p_idx, idx)
+            s //= 2
+    return key, _apply_row_perm(idx, payloads), idx
+
+
 def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps,
                     scratch=None, sem=None):
     """Chained demand-paged gather (stream mode): resolve EVERY lane's
@@ -1236,11 +1344,62 @@ def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps,
                 p_last = p_j
             return locals_v, p_is_v, p_last
 
-        if gs.hbm_table and scratch is not None:
-            # phase B keeps TILE-GLOBAL voting: the k served slabs are
-            # DMA'd HBM -> VMEM once per trip and shared by all 8 row
-            # groups (per-group voting would need 8x the scratch and
-            # DMAs; at HBM scale the dense-map lookup dominates anyway)
+        if (gs.hbm_table and scratch is not None
+                and _hbm_vote_mode() == "block"):
+            # phase-B PER-GROUP voting (round 4, see _hbm_vote_mode):
+            # block-form vote as in the VMEM path, then one DMA per
+            # (group, page) into that group's scratch slots — all 8*k
+            # copies start before the first wait so latencies overlap,
+            # and each group dots only its own k slabs.
+            from jax.experimental import pallas as pl
+            from jax.experimental.pallas import tpu as pltpu
+
+            rem = pg
+            locals_all, p_rows = [], []
+            for _ in range(k_pages):
+                p_j = jnp.min(rem, axis=1, keepdims=True)  # [8,1]
+                sel = pg == p_j
+                rem = jnp.where(sel, pbig, rem)
+                locals_all.append(jnp.where(
+                    ndb & sel, cur - p_j * np.float32(128.0),
+                    np.float32(-1.0),
+                ))
+                p_rows.append(jnp.minimum(p_j, pbig - 1.0))
+            on_p = ndb & (pg <= p_rows[-1])
+            copies = []
+            for g in range(TILE_ROWS):
+                for j in range(k_pages):
+                    p_i = p_rows[j][g, 0].astype(jnp.int32)
+                    s0 = (g * k_pages + j) * rr_pad
+                    cp = pltpu.make_async_copy(
+                        tab.at[pl.ds(p_i * rr_pad, rr_pad), :],
+                        scratch.at[s0 : s0 + rr_pad, :],
+                        sem,
+                    )
+                    cp.start()
+                    copies.append(cp)
+            for cp in copies:
+                cp.wait()
+            for g in range(TILE_ROWS):
+                base = g * k_pages
+                slabs = [
+                    scratch[
+                        (base + j) * rr_pad : (base + j + 1) * rr_pad, :
+                    ]
+                    for j in range(k_pages)
+                ]
+                slab_cat = (
+                    slabs[0] if k_pages == 1
+                    else jnp.concatenate(slabs, axis=1)
+                )
+                serve_group(
+                    g, slab_cat, [loc[g : g + 1] for loc in locals_all]
+                )
+        elif gs.hbm_table and scratch is not None:
+            # phase B default keeps TILE-GLOBAL voting: the k served
+            # slabs are DMA'd HBM -> VMEM once per trip and shared by
+            # all 8 row groups (per-group voting needs 8x the scratch
+            # and DMA starts — see _hbm_vote_mode "block")
             locals_, p_is, p_last = vote(pg, ndb, cur)
             from jax.experimental import pallas as pl
             from jax.experimental.pallas import tpu as pltpu
@@ -1425,10 +1584,28 @@ def tri_grid_step(gs: TriGridStatic, dense_tab, tri_tabs, state, o, d,
         attr_pl = [tox * 0.0 for _ in range(N_ATTRS)]
     elif stream:
         scr, sem = stream_scratch if stream_scratch else (None, None)
-        t_cand, attr_pl, trips = _stream_service(
-            gs, tri_tabs[0], ci, d, (tox, toy, toz), eps,
-            scratch=scr, sem=sem,
-        )
+        if _stream_sort_on():
+            # sublane page-sort binning (see _sublane_sort8): permute
+            # each column's 8 lanes so like chunk pages share a row
+            # group, serve, un-permute the results. Bit-exact (the
+            # service is lane-independent; PAD_CI keys sink done lanes
+            # to the bottom rows). trips is uniform across lanes (the
+            # counter increments unconditionally), so the census sum
+            # needs no un-permute.
+            ci_s, ctx_s, perm = _sublane_sort8(
+                ci, [dx, dy, dz, tox, toy, toz]
+            )
+            t_cand, attr_pl, trips = _stream_service(
+                gs, tri_tabs[0], ci_s, tuple(ctx_s[:3]),
+                tuple(ctx_s[3:]), eps, scratch=scr, sem=sem,
+            )
+            unp = _undo_row_perm(perm, [t_cand] + list(attr_pl))
+            t_cand, attr_pl = unp[0], unp[1:]
+        else:
+            t_cand, attr_pl, trips = _stream_service(
+                gs, tri_tabs[0], ci, d, (tox, toy, toz), eps,
+                scratch=scr, sem=sem,
+            )
         if _os.environ.get("CSGR_DEBUG_TRIPS"):
             # census only (corrupts id_best): accumulate service-loop
             # trip counts; trimesh_kernel reports them via rays_ref

@@ -630,9 +630,17 @@ def _render_mesh_packed(
             rr = N_SECTIONS * q_s + 1  # + continuation-flag row
             rr_pad = int(np.ceil(rr / 8.0)) * 8
             k = max(1, int(grid_static.gather_pages))
+            # per-group HBM voting (CSGR_HBM_VOTE=block) DMAs each
+            # group's own k slabs: 8x the scratch slots
+            from csgrenderer_tpu.kernels.tri_worklist import (
+                _hbm_vote_mode,
+            )
+
+            n_slabs = (TILE_ROWS * k if _hbm_vote_mode() == "block"
+                       else k)
             scratch_shapes = [
                 pltpu.VMEM(
-                    (k * rr_pad, TILE_LANES), grid_tables[1].dtype
+                    (n_slabs * rr_pad, TILE_LANES), grid_tables[1].dtype
                 ),
                 pltpu.SemaphoreType.DMA,
             ]

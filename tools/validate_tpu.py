@@ -326,21 +326,30 @@ def validate_hbm_245k() -> bool:
     cam = Camera.look_at((0.0, 1.6, 2.2), (0.0, 0.7, -2.6),
                          vfov_degrees=45.0, aspect_ratio=48 / 28)
 
-    def k(seed, spp, pages, off=0):
-        img, _ = render_image_mesh_pallas(
-            m, cam, 48, 28, spp=spp, max_bounces=6, seed=seed,
-            sample_offset=off, worklist="stream", gather_pages=pages)
-        return img
+    def k(pages):
+        def fn(seed, spp, off=0):
+            img, _ = render_image_mesh_pallas(
+                m, cam, 48, 28, spp=spp, max_bounces=6, seed=seed,
+                sample_offset=off, worklist="stream", gather_pages=pages)
+            return img
+        return fn
 
-    spp = 1024
+    # every device execution is bounded to 1024 spp (~4 s at the measured
+    # ~1 Mrays/s): the tunnel KILLS single executions past ~2 min, and the
+    # original unchunked doubling loop crashed the worker here (r4d log) —
+    # sample_offset composition is exact under the counter-based RNG
+    spp, chunk = 1024, 1024
     while True:
-        a = _tonemapped(k(11, spp, 8))
-        b = _tonemapped(k(1211, spp, 8))
+        a = _tonemapped(_chunked(k(8), 11, spp, chunk))
+        b = _tonemapped(_chunked(k(8), 1211, spp, chunk))
         noise = _rmse(a, b) / np.sqrt(2.0)
+        print(f"[csgr] config10_meshhbm245k: spp={spp} "
+              f"noise={noise:.2e} ...", flush=True)
         if noise <= NOISE_TARGET or spp * 2 > 16384:
             break
         spp *= 2
-    x = _tonemapped(k(11, spp, 2))  # same seed, different page schedule
+    # same seed, different page schedule
+    x = _tonemapped(_chunked(k(2), 11, spp, chunk))
     err = _rmse(a, x)
     ok = noise <= NOISE_BUDGET and err <= RMSE_TOL
     print(
