@@ -1194,11 +1194,18 @@ def _sublane_sort8(key, payloads):
             p_idx = jnp.where(
                 bit0, jnp.roll(idx, -s, axis=0), jnp.roll(idx, s, axis=0)
             )
-            asc = (riota & blk) == 0  # blk=8: always True for r < 8
-            take_min = bit0 == asc
-            # strict comparison: ties keep self on both sides, so key
+            # direction algebra in PURE int32 bit arithmetic: an i1==i1
+            # formulation (even via astype-int32, which XLA folds back)
+            # hits Mosaic's unlowerable vector<i1> cmpi/xor. take_min =
+            # (bit_s(r) == bit_blk(r)): the CE keeps the min at r iff
+            # its stride bit and its direction bit agree.
+            sb, bb = int(np.log2(s)), int(np.log2(blk))
+            tm_i = 1 - (((riota >> sb) ^ (riota >> bb)) & 1)
+            # strict comparisons: ties keep self on both sides, so key
             # and carried idx stay consistent
-            swap = jnp.where(take_min, part < key, part > key)
+            lt_i = (part < key).astype(jnp.int32)
+            gt_i = (part > key).astype(jnp.int32)
+            swap = (tm_i * lt_i + (1 - tm_i) * gt_i) > 0
             key = jnp.where(swap, part, key)
             idx = jnp.where(swap, p_idx, idx)
             s //= 2

@@ -26,16 +26,28 @@ from csgrenderer_tpu.render.trimesh import concat_meshes, icosphere, quad
 from csgrenderer_tpu.scene import Material
 
 
-def build_scene(subdiv: int = 2):
-    return concat_meshes(
+def build_scene(subdiv: int = 2, spheres: int = 3):
+    """3 icospheres + floor (the demo scene); ``spheres`` > 3 appends
+    lambertian spheres behind the hero row — used by the mesh-scale
+    sweep to hit face counts between the subdiv rungs (5 spheres at
+    subdiv 5 = 102,402 faces, the '100k+' measurement point)."""
+    parts = [
         icosphere((-1.1, 0.8, -3.2), 0.8,
                   Material.metal((0.9, 0.8, 0.6), 0.05), subdiv),
         icosphere((1.1, 0.8, -3.0), 0.8, Material.dielectric(1.5), subdiv),
         icosphere((0.0, 0.45, -1.9), 0.45,
                   Material.lambertian((0.2, 0.35, 0.7)), subdiv),
+    ]
+    extra = [((-2.4, 0.7, -5.2), 0.7, (0.7, 0.3, 0.25)),
+             ((2.4, 0.7, -5.4), 0.7, (0.3, 0.6, 0.3)),
+             ((0.0, 0.9, -6.3), 0.9, (0.8, 0.7, 0.2)),
+             ((-3.4, 0.5, -2.6), 0.5, (0.5, 0.4, 0.7))]
+    for c, r, alb in extra[: max(0, spheres - 3)]:
+        parts.append(icosphere(c, r, Material.lambertian(alb), subdiv))
+    parts.append(
         quad((-6, 0, -9), (6, 0, -9), (6, 0, 2), (-6, 0, 2),
-             Material.lambertian((0.55, 0.55, 0.5))),
-    )
+             Material.lambertian((0.55, 0.55, 0.5))))
+    return concat_meshes(*parts)
 
 
 def main(argv=None):

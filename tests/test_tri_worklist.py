@@ -295,3 +295,33 @@ def test_native_sat_parity_fuzz():
             finally:
                 twl._SAT_NATIVE = saved
         assert (a == b).all()
+
+
+def test_sublane_sort8_helpers():
+    """The page-sort binning primitives (round 4): per-column sort-8 is
+    a real sort, idx is a permutation, and _apply/_undo round-trip."""
+    from csgrenderer_tpu.kernels import tri_worklist as twl
+
+    rng = np.random.default_rng(7)
+    # keys with heavy duplication (page ids repeat across lanes)
+    key = rng.integers(0, 5, (8, 128)).astype(np.float32)
+    payloads = [rng.normal(0, 1, (8, 128)).astype(np.float32)
+                for _ in range(3)]
+    ks, ps, idx = jax.jit(
+        lambda k, p: twl._sublane_sort8(k, p)
+    )(jnp.asarray(key), [jnp.asarray(p) for p in payloads])
+    ks, idx = np.asarray(ks), np.asarray(idx)
+    # sorted ascending per column
+    assert (np.diff(ks, axis=0) >= 0).all()
+    # idx is a permutation of 0..7 per column
+    assert (np.sort(idx, axis=0) == np.arange(8)[:, None]).all()
+    # sorted key == gather(key, idx); payloads gathered consistently
+    cols = np.arange(128)[None, :]
+    assert (ks == key[idx, cols]).all()
+    for p_in, p_out in zip(payloads, ps):
+        assert (np.asarray(p_out) == p_in[idx, cols]).all()
+    # undo(apply(x)) == x for arbitrary planes
+    x = rng.normal(0, 1, (8, 128)).astype(np.float32)
+    fwd = twl._apply_row_perm(jnp.asarray(idx), [jnp.asarray(x)])
+    back = twl._undo_row_perm(jnp.asarray(idx), fwd)
+    assert (np.asarray(back[0]) == x).all()

@@ -22,6 +22,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "demos")
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--subdiv", type=int, default=4)
+    ap.add_argument("--spheres", type=int, default=3,
+                    help="icospheres in the scene (5 at subdiv 5 = 102k faces)")
     ap.add_argument("--width", type=int, default=1280)
     ap.add_argument("--height", type=int, default=720)
     ap.add_argument("--spp", type=int, default=16)
@@ -45,7 +47,7 @@ def main(argv=None):
 
         mesh = load_mesh(args.obj, Material.lambertian((0.6, 0.6, 0.6)))
     else:
-        mesh = build_scene(args.subdiv)
+        mesh = build_scene(args.subdiv, spheres=args.spheres)
     from csgrenderer_tpu.camera import Camera
 
     cam = Camera.look_at((0.0, 1.6, 2.2), (0.0, 0.7, -2.6),
