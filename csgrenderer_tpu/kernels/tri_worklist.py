@@ -1118,11 +1118,13 @@ def _hbm_vote_mode():
     "block" = per-group block vote with per-(group, page) DMAs — 8x the
     DMA starts but each group dots only its OWN k slabs; the 245k census
     measured the shared-set dots at ~92 of 141 us/iter (8 groups x 8
-    pages x 5.8 trips), so cutting dots 4x for ~2x DMA volume is the
-    right trade once the sublane sort concentrates per-group demand."""
+    pages x 5.8 trips). Measured (round 4g, no sort): 245k 1.0 -> 1.2
+    Mrays/s at k=2 and k=4 — block is the default. (With the sublane
+    sort it REGRESSED to 0.6-0.7: the sort starves row groups,
+    doc/PERF_NOTES round 4f.)"""
     import os as _os
 
-    return _os.environ.get("CSGR_HBM_VOTE", "global")
+    return _os.environ.get("CSGR_HBM_VOTE", "block")
 
 
 def _apply_row_perm(idx, planes):
