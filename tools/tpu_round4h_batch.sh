@@ -43,4 +43,10 @@ if [ "$P" = rt ] || [ "$P" = all ]; then
   run rt_wololo 700 python -u demos/demo6_realtime.py --seconds 6
 fi
 
+if [ "$P" = tape ] || [ "$P" = all ]; then
+  # 1080p/16spp config5 refresh: clusters (auto) + adaptive unroll
+  # composed (round-3 measured 501.7 pre-unroll at this size)
+  run tape_1080 900 python -u tools/bench_tape.py --width 1920 --height 1080
+fi
+
 echo "done; logs in /tmp/r4h/"
