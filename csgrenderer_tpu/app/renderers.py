@@ -280,6 +280,80 @@ class PathTraceRenderer:
             self._sample_offset += self.config.spp
         return self._tonemap(radiance), rays
 
+    def render_to_noise(self, target: float = 1e-3,
+                        max_spp: int = 1 << 16, time_sec: float = 0.0):
+        """Render until the MEASURED Monte-Carlo noise reaches ``target``
+        — "render to quality, not to spp".
+
+        Accumulates cfg.spp-sized chunks (each a bounded device call —
+        the tunnel kills multi-minute executions, CLAUDE.md) into TWO
+        independent half-streams via disjoint ``sample_offset``s (exact
+        under the counter-based RNG), and estimates the noise of the
+        COMBINED image as rmse(tonemap(A), tonemap(B)) / 2 on gamma-2
+        floats: A and B are independent n/2-sample means, so their rms
+        difference is sqrt(2) x the n/2-mean noise = 2 x the n-mean
+        noise. This is the same certificate tools/validate_tpu.py uses
+        for the hardware fidelity protocol (there the /sqrt(2) form
+        certifies the per-image noise; here /2 certifies the merged
+        image). The estimate is evaluated at power-of-two chunk-pair
+        counts so its cost amortizes.
+
+        Returns ``(accumulator, noise, spp_used)``; the renderer's own
+        progressive state advances past the consumed sample range, so
+        subsequent draw_frame calls compose exactly.
+        """
+        import numpy as _np
+
+        from ..render import tonemap as _tm
+
+        cfg = self.config
+        acc_a = Accumulator.zeros(cfg.height, cfg.width)
+        acc_b = Accumulator.zeros(cfg.height, cfg.width)
+        args = (
+            (self._recluster(time_sec),) if self._reclusters else ()
+        )
+        noise = float("inf")
+        pairs = 0
+        next_check = 1
+        while 2 * pairs * cfg.spp < max_spp:
+            for which in range(2):
+                radiance, rays = self._frame(
+                    self.scene, self.camera, jnp.float32(time_sec),
+                    jnp.int32(self._sample_offset), *args,
+                )
+                acc = acc_a if which == 0 else acc_b
+                acc = acc.add(radiance * cfg.spp, cfg.spp, rays)
+                if which == 0:
+                    acc_a = acc
+                else:
+                    acc_b = acc
+                self._sample_offset += cfg.spp
+            pairs += 1
+            if pairs >= next_check:
+                next_check *= 2
+                a = _np.asarray(_tm.tonemap(acc_a.image(), gamma=2.0),
+                                _np.float64)
+                b = _np.asarray(_tm.tonemap(acc_b.image(), gamma=2.0),
+                                _np.float64)
+                noise = float(_np.sqrt(_np.mean((a - b) ** 2))) / 2.0
+                if noise <= target:
+                    break
+        merged = Accumulator(
+            radiance_sum=acc_a.radiance_sum + acc_b.radiance_sum,
+            sample_count=acc_a.sample_count + acc_b.sample_count,
+            rays_traced=acc_a.rays_traced + acc_b.rays_traced,
+        )
+        if self.progressive:
+            self.accumulator = Accumulator(
+                radiance_sum=self.accumulator.radiance_sum
+                + merged.radiance_sum,
+                sample_count=self.accumulator.sample_count
+                + merged.sample_count,
+                rays_traced=self.accumulator.rays_traced
+                + merged.rays_traced,
+            )
+        return merged, noise, 2 * pairs * cfg.spp
+
 
 def _hit_fn_for(scene, eps: float = 1e-3):
     if isinstance(scene, SphereScene):

@@ -22,6 +22,12 @@ def main():
     ap.add_argument("--resume", type=str, default=None)
     ap.add_argument("--orbit", action="store_true",
                     help="orbit the camera per frame (disables accumulation)")
+    ap.add_argument("--target-noise", type=float, default=None,
+                    help="render to MEASURED noise instead of --frames: "
+                    "accumulate spp chunks until the two-stream estimate "
+                    "reaches this (e.g. 1e-3, the fidelity budget)")
+    ap.add_argument("--max-spp", type=int, default=1 << 14,
+                    help="noise-targeted rendering stops here regardless")
     args = ap.parse_args()
     maybe_force_cpu(args)
 
@@ -73,9 +79,18 @@ def main():
 
     sink = png_sink(args.out, "deepcsg")
     t_frozen = 1.0  # progressive accumulation needs a frozen scene time
-    for i in range(args.frames):
-        img = renderer.draw_frame(t_frozen)
-        sink(i, np.asarray(img))
+    if args.target_noise is not None:
+        acc, noise, used = renderer.render_to_noise(
+            target=args.target_noise, max_spp=args.max_spp,
+            time_sec=t_frozen,
+        )
+        print(f"[csgr] render-to-noise: {used} spp, measured noise "
+              f"{noise:.2e} (target {args.target_noise:.1e})")
+        sink(0, np.asarray(renderer._tonemap(acc.image())))
+    else:
+        for i in range(args.frames):
+            img = renderer.draw_frame(t_frozen)
+            sink(i, np.asarray(img))
     print(
         f"[csgr] accumulated {int(renderer.accumulator.sample_count)} spp, "
         f"{int(renderer.accumulator.rays_traced)} rays"

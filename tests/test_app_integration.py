@@ -111,3 +111,38 @@ def test_mesh_renderer_through_app_loop():
     assert f1.shape == (32, 64, 3)
     assert int(rp.accumulator.sample_count) == 2
     assert rp.last_frame_rays > 0
+
+
+def test_render_to_noise_exactness_and_stop():
+    """render_to_noise (round 4): the merged two-stream accumulator must
+    equal a single uniform render over the same sample range (disjoint
+    sample_offsets compose exactly under the counter-based RNG), the
+    loop must stop once the measured noise reaches the target, and the
+    renderer's progressive state must advance past the consumed range."""
+    from csgrenderer_tpu.render import integrator
+
+    scene = two_spheres_scene()
+    cam = Camera.look_at((0, 0, 0), (0, 0, -1), vfov_degrees=90.0,
+                         aspect_ratio=2.0)
+    cfg = RenderConfig(width=32, height=16, spp=4, max_bounces=3, seed=9)
+    r = PathTraceRenderer(scene, cam, cfg, backend="jnp", progressive=True)
+    acc, noise, used = r.render_to_noise(target=5e-2, max_spp=64)
+    assert used % (2 * cfg.spp) == 0 and 0 < used <= 64
+    assert noise <= 5e-2  # a diffuse 2-sphere scene converges fast
+    assert int(acc.sample_count) == used
+    assert r._sample_offset == used
+    assert int(r.accumulator.sample_count) == used
+
+    # exactness: one uniform render over offsets [0, used)
+    ref, rrays = integrator.render_image(
+        scene.nearest_hit, cam, 32, 16, spp=used, max_bounces=3, seed=9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(acc.image()), np.asarray(ref), atol=2e-6
+    )
+    assert int(acc.rays_traced) == int(rrays)
+
+    # an unreachable target runs to max_spp and reports honestly
+    r2 = PathTraceRenderer(scene, cam, cfg, backend="jnp")
+    acc2, noise2, used2 = r2.render_to_noise(target=1e-9, max_spp=16)
+    assert used2 == 16 and noise2 > 1e-9

@@ -325,3 +325,54 @@ def test_sublane_sort8_helpers():
     fwd = twl._apply_row_perm(jnp.asarray(idx), [jnp.asarray(x)])
     back = twl._undo_row_perm(jnp.asarray(idx), fwd)
     assert (np.asarray(back[0]) == x).all()
+
+
+@pytest.mark.parametrize("knob,vals", [
+    ("CSGR_STREAM_SORT", ("0", "1")),
+])
+def test_stream_sort_knob_bit_identity(monkeypatch, knob, vals):
+    """The sublane page-sort (measured and rejected for speed, kept as a
+    census knob) must stay BIT-IDENTICAL to the default path: the
+    service is lane-independent and the sort only permutes its
+    inputs/outputs. Hardware twin: tools/check_sort_identity.py."""
+    mesh = demo_mesh(2)
+    cam = Camera.look_at(
+        (0.0, 1.6, 2.2), (0.0, 0.7, -2.6),
+        vfov_degrees=45.0, aspect_ratio=64 / 36,
+    )
+    outs = []
+    for v in vals:
+        monkeypatch.setenv(knob, v)
+        img, rays = render_image_mesh_pallas(
+            mesh, cam, 64, 36, spp=2, max_bounces=4, seed=7,
+            interpret=True, worklist="stream", gather_pages=2,
+        )
+        outs.append((np.asarray(img), int(rays)))
+    assert outs[0][1] == outs[1][1]
+    assert (outs[0][0] == outs[1][0]).all()
+
+
+def test_hbm_vote_modes_bit_identity(monkeypatch):
+    """HBM per-group block voting (the round-4 default, 245k 1.0 -> 1.2
+    Mrays/s) serves pages in a different ORDER than tile-global voting
+    but must deliver identical face data — bit-identical images."""
+    from csgrenderer_tpu.kernels import tri_worklist as twl
+
+    monkeypatch.setattr(twl, "_STREAM_TABLE_BYTES", 1)
+    twl._PACK_CACHE.clear()
+    mesh = demo_mesh(2)
+    cam = Camera.look_at(
+        (0.0, 1.6, 2.2), (0.0, 0.7, -2.6),
+        vfov_degrees=45.0, aspect_ratio=64 / 36,
+    )
+    outs = []
+    for mode in ("global", "block"):
+        monkeypatch.setenv("CSGR_HBM_VOTE", mode)
+        img, rays = render_image_mesh_pallas(
+            mesh, cam, 64, 36, spp=2, max_bounces=4, seed=7,
+            interpret=True, worklist="stream", gather_pages=2,
+        )
+        outs.append((np.asarray(img), int(rays)))
+    twl._PACK_CACHE.clear()
+    assert outs[0][1] == outs[1][1]
+    assert (outs[0][0] == outs[1][0]).all()
