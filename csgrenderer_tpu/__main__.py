@@ -122,7 +122,16 @@ def cmd_render(args):
             max_bounces=args.bounces, seed=args.seed, **extra,
         )
         r = PathTraceRenderer(scene, camera, cfg, backend=args.backend)
-        img = np.asarray(r.draw_frame(args.time))
+        if getattr(args, "target_noise", None) is not None:
+            acc, noise, used = r.render_to_noise(
+                target=args.target_noise, max_spp=args.max_spp,
+                time_sec=args.time,
+            )
+            print(f"[csgr] render-to-noise: {used} spp, measured noise "
+                  f"{noise:.2e} (target {args.target_noise:.1e})")
+            img = np.asarray(r._tonemap(acc.image()))
+        else:
+            img = np.asarray(r.draw_frame(args.time))
     image.write_png(args.out, img)
     print(f"[csgr] wrote {args.out} ({args.width}x{args.height})")
 
@@ -190,6 +199,11 @@ def main(argv=None):
     r = sub.add_parser("render", help="render a scene to PNG")
     r.add_argument("--scene", default="rtiow", choices=SCENES)
     r.add_argument("--time", type=float, default=0.0)
+    r.add_argument("--target-noise", type=float, default=None,
+                   help="render to MEASURED noise instead of one --spp "
+                   "frame: accumulate spp chunks until the two-stream "
+                   "estimate reaches this (e.g. 1e-3)")
+    r.add_argument("--max-spp", type=int, default=1 << 14)
     _add_common(r)
     r.set_defaults(fn=cmd_render)
 
