@@ -595,20 +595,24 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
                 nee_sample=nee_sample,
                 nee_mis_scale=nee_mis_scale,
                 walk_t_out_index=6,  # (ix, iz, tmaxx, tmaxz, tdx, tdz, t_out)
-                # 16 wave_steps per while iteration: the loop BOUNDARY
+                # K wave_steps per while iteration: the loop BOUNDARY
                 # (cond reduction + backedge) measured ~306 ns/iter,
                 # and the unroll ladder keeps paying past 4 — measured
                 # 64-spp headline 711.7 (u4) / 734.7 (u8) / 750.4 (u16)
-                # Mrays/s (doc/PERF_NOTES round 4e/4f).
-                # Unlike steps_per_iter (extra DDA work for
-                # lanes that didn't need it), unroll repeats the WHOLE
-                # step — regeneration included — so no lane wastes work
-                # and the output is bit-identical. Off-TPU the knob
-                # only multiplies XLA:CPU compile time (the 8-device
-                # shard_map tests went from ~6 min to wedged-for-an-
-                # hour at unroll=4), so it pays on the real target
-                # only.
-                unroll=16 if jax.default_backend() == "tpu" else 1,
+                # Mrays/s (doc/PERF_NOTES round 4e/4f). LOW-spp frames
+                # run only a few hundred steps per tile, so u16's idle
+                # duplicated TAIL steps show: 2-spp realtime measured
+                # u1 36.8 / u16 34.1 / u4 42.1 fps (round 4h) — hence
+                # the spp split. Unlike steps_per_iter (extra DDA work
+                # for lanes that didn't need it), unroll repeats the
+                # WHOLE step — regeneration included — so no lane
+                # wastes work and the output is bit-identical. Off-TPU
+                # the knob only multiplies XLA:CPU compile time (the
+                # 8-device shard_map tests went from ~6 min to wedged-
+                # for-an-hour at unroll=4), so it pays on the real
+                # target only.
+                unroll=(16 if spp >= 8 else 4)
+                if jax.default_backend() == "tpu" else 1,
             )
         out_r_ref[:] = state["rad"][0]
         out_g_ref[:] = state["rad"][1]

@@ -10,7 +10,7 @@ cd "$(dirname "$0")/.."
 mkdir -p /tmp/r4h
 P="${1:-all}"
 
-if ! timeout 90 python -u -c \
+if ! timeout 150 python -u -c \
     "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.arange(8.))))" \
     > /tmp/r4h/probe.log 2>&1; then
   echo "!! axon tunnel unreachable — aborting"; exit 3
