@@ -1,4 +1,6 @@
 from . import integrator, intersect, interval, materials, sampling, tape_eval, tonemap, trimesh
+from .aov import AOVs, render_aovs
+from .denoise import atrous_denoise, denoise_frame
 from .integrator import (
     SphereScene,
     SurfaceHit,
@@ -18,6 +20,10 @@ __all__ = [
     "sampling",
     "tape_eval",
     "tonemap",
+    "AOVs",
+    "render_aovs",
+    "atrous_denoise",
+    "denoise_frame",
     "SphereScene",
     "SurfaceHit",
     "render_image",
