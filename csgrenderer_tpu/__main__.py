@@ -26,6 +26,12 @@ def _add_common(ap):
     ap.add_argument("--backend", default="auto", choices=["auto", "jnp", "pallas"])
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="out.png")
+    ap.add_argument("--denoise", action="store_true",
+                    help="a-trous/SVGF denoise guided by the AOV G-buffer "
+                    "(render/denoise.py) — low-spp renders converge visually "
+                    "at a fraction of the sample cost")
+    ap.add_argument("--denoise-iters", type=int, default=4,
+                    help="a-trous passes (filter radius 2^iters pixels)")
 
 
 SCENES = ("milestone01", "diffuse", "csg", "rtiow", "deepcsg", "csgnight",
@@ -119,7 +125,9 @@ def cmd_render(args):
         scene, camera, extra = _build(args.scene, args.width / args.height)
         cfg = RenderConfig(
             width=args.width, height=args.height, spp=args.spp,
-            max_bounces=args.bounces, seed=args.seed, **extra,
+            max_bounces=args.bounces, seed=args.seed,
+            denoise=args.denoise, denoise_iterations=args.denoise_iters,
+            **extra,
         )
         r = PathTraceRenderer(scene, camera, cfg, backend=args.backend)
         if getattr(args, "target_noise", None) is not None:
@@ -129,7 +137,9 @@ def cmd_render(args):
             )
             print(f"[csgr] render-to-noise: {used} spp, measured noise "
                   f"{noise:.2e} (target {args.target_noise:.1e})")
-            img = np.asarray(r._tonemap(acc.image()))
+            img = np.asarray(
+                r._tonemap(r.denoise_image(acc.image(), args.time))
+            )
         else:
             img = np.asarray(r.draw_frame(args.time))
     image.write_png(args.out, img)
@@ -161,6 +171,7 @@ def cmd_gif(args):
         cfg = RenderConfig(
             width=args.width, height=args.height, spp=args.spp,
             max_bounces=args.bounces, seed=args.seed,
+            denoise=args.denoise, denoise_iterations=args.denoise_iters,
         )
         r = PathTraceRenderer(
             graph.compile(), Camera.look_at(

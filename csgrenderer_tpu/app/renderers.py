@@ -215,6 +215,42 @@ class PathTraceRenderer:
             lambda lin: tonemap.to_uint8(tonemap.tonemap(lin, gamma=cfg.gamma))
         )
 
+        # Denoise step (round 5, VERDICT item 2): a jitted post-pass over
+        # the LINEAR radiance — deterministic AOV G-buffer (render/aov.py,
+        # one centered primary cast reusing the scene's jnp hit adapter)
+        # guiding the a-trous/SVGF filter (render/denoise.py). The scene is
+        # a traced pytree argument, so animated scenes denoise against the
+        # frame-time geometry and the camera stays recompile-free. Large
+        # meshes bound memory with face/row chunking (the chunked brute
+        # cast is an offline-grade cost at 100k+ faces; the beauty path at
+        # that scale uses the Pallas stream kernels).
+        self._denoise_fn = None
+        if cfg.denoise:
+            from ..render.aov import render_aovs
+            from ..render.denoise import atrous_denoise
+
+            face_chunk = None
+            row_chunk = None
+            if isinstance(scene, MeshScene) and scene.num_faces > 8192:
+                face_chunk = 2048
+                row_chunk = max(
+                    1, (1 << 26) // max(1, cfg.width * face_chunk)
+                )
+
+            def denoise_step(lin, scene, camera, t):
+                if animate is not None:
+                    scene = animate(scene, t)
+                hit_fn = _hit_fn_for(scene, eps=1e-3, face_chunk=face_chunk)
+                aovs = render_aovs(
+                    hit_fn, camera, cfg.width, cfg.height, sky=cfg.sky,
+                    row_chunk=row_chunk,
+                )
+                return atrous_denoise(
+                    lin, aovs, iterations=cfg.denoise_iterations
+                )
+
+            self._denoise_fn = jax.jit(denoise_step)
+
     def reset_accumulation(self) -> None:
         self.accumulator = Accumulator.zeros(self.config.height, self.config.width)
         self._sample_offset = 0
@@ -251,10 +287,12 @@ class PathTraceRenderer:
                 radiance * self.config.spp, self.config.spp, rays
             )
             self._sample_offset += self.config.spp
-            return self._tonemap(self.accumulator.image())
+            return self._tonemap(
+                self.denoise_image(self.accumulator.image(), time_sec)
+            )
         if self.advance_samples:
             self._sample_offset += self.config.spp
-        return self._tonemap(radiance)
+        return self._tonemap(self.denoise_image(radiance, time_sec))
 
     def draw_frame_async(self, time_sec: float):
         """Dispatch a frame WITHOUT any host synchronization.
@@ -278,7 +316,17 @@ class PathTraceRenderer:
         )
         if self.advance_samples:
             self._sample_offset += self.config.spp
-        return self._tonemap(radiance), rays
+        return self._tonemap(self.denoise_image(radiance, time_sec)), rays
+
+    def denoise_image(self, linear, time_sec: float = 0.0):
+        """Apply the configured a-trous denoise to a LINEAR radiance image
+        (no-op unless RenderConfig.denoise). Pure device work — safe on the
+        async path; AOVs are evaluated against the scene at ``time_sec``."""
+        if self._denoise_fn is None:
+            return linear
+        return self._denoise_fn(
+            linear, self.scene, self.camera, jnp.float32(time_sec)
+        )
 
     def render_to_noise(self, target: float = 1e-3,
                         max_spp: int = 1 << 16, time_sec: float = 0.0):
@@ -355,13 +403,15 @@ class PathTraceRenderer:
         return merged, noise, 2 * pairs * cfg.spp
 
 
-def _hit_fn_for(scene, eps: float = 1e-3):
+def _hit_fn_for(scene, eps: float = 1e-3, face_chunk: int | None = None):
     if isinstance(scene, SphereScene):
         return partial(SphereScene.nearest_hit, scene, eps=eps)
     if isinstance(scene, CompiledTape):
         return partial(integrator.tape_hit_adapter, scene, eps=eps)
     if isinstance(scene, MeshScene):
-        return partial(MeshScene.nearest_hit, scene, eps=eps)
+        return partial(
+            MeshScene.nearest_hit, scene, eps=eps, face_chunk=face_chunk
+        )
     raise TypeError(f"unsupported scene type {type(scene)}")
 
 

@@ -87,19 +87,21 @@ def render_image_sharded(
         )
         radiance_sum = lax.psum(radiance_sum, SAMPLE_AXIS)
         rays = lax.psum(rays, (TILE_AXIS, SAMPLE_AXIS))
-        return radiance_sum[None] / spp, rays
+        return radiance_sum / spp, rays
 
     # vma checker ON (round-3): the integrator seeds its loop carries from
     # value-dependent zeros derived from pixel/sample counters, so the
     # carries enter with the varying-axis type the body produces.
+    # Row slabs concatenate along dim 0 via the out_spec itself (no host
+    # reshape — a host op on the global array would require full
+    # addressability, which a multi-HOST job doesn't have).
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(),
-        out_specs=(P(TILE_AXIS, None, None, None), P()),
+        out_specs=(P(TILE_AXIS, None, None), P()),
     )
-    stacked, rays = fn()
-    return stacked.reshape(height, width, 3), rays
+    return fn()
 
 
 def render_scene_sharded(
@@ -218,7 +220,7 @@ def render_scene_sharded(
             raise TypeError(f"unsupported scene type {type(scene)}")
         radiance_sum = lax.psum(radiance * spp_local, SAMPLE_AXIS)
         rays = lax.psum(rays, (TILE_AXIS, SAMPLE_AXIS))
-        return radiance_sum[None] / spp, rays
+        return radiance_sum / spp, rays
 
     # check_vma=False is REQUIRED here by JAX itself (as of jax 0.9):
     # pallas_call under an active vma checker rejects any kernel mixing
@@ -232,8 +234,76 @@ def render_scene_sharded(
         shard_fn,
         mesh=mesh,
         in_specs=(),
-        out_specs=(P(TILE_AXIS, None, None, None), P()),
+        out_specs=(P(TILE_AXIS, None, None), P()),
         check_vma=False,
     )
-    stacked, rays = fn()
-    return stacked.reshape(height, width, 3), rays
+    return fn()
+
+
+def render_to_noise_sharded(
+    scene,
+    camera,
+    width: int,
+    height: int,
+    mesh: Mesh,
+    target: float = 1e-3,
+    max_spp: int = 1 << 16,
+    spp_chunk: int = 16,
+    sample_offset: int = 0,
+    **render_kwargs,
+):
+    """Multi-chip render-to-quality: the two-stream noise certificate of
+    ``PathTraceRenderer.render_to_noise`` (app/renderers.py) over the
+    production sharded path.
+
+    Accumulates ``spp_chunk``-sized ``render_scene_sharded`` calls into two
+    independent half-streams via disjoint ``sample_offset`` ranges. The
+    counter-based RNG makes every sharded chunk bit-identical to its
+    single-device counterpart (tests/test_parallel.py), so the certificate
+    — rmse(tonemap(A), tonemap(B)) / 2 on gamma-2 floats, the noise of the
+    merged image — is EXACTLY the single-device one: sharding scales
+    time-to-certified-quality linearly without touching the math.
+
+    Returns ``(accumulator, noise, spp_used)`` like the renderer method;
+    ``render_kwargs`` forward to render_scene_sharded (backend, nee, sky,
+    lens, seed, max_bounces, interpret, worklist, gather_pages).
+    """
+    import numpy as _np
+
+    from ..io.checkpoint import Accumulator
+    from ..render import tonemap as _tm
+
+    acc_a = Accumulator.zeros(height, width)
+    acc_b = Accumulator.zeros(height, width)
+    offset = int(sample_offset)
+    noise = float("inf")
+    pairs = 0
+    next_check = 1
+    while 2 * pairs * spp_chunk < max_spp:
+        for which in range(2):
+            radiance, rays = render_scene_sharded(
+                scene, camera, width, height, mesh, spp=spp_chunk,
+                sample_offset=offset, **render_kwargs,
+            )
+            acc = (acc_a if which == 0 else acc_b).add(
+                radiance * spp_chunk, spp_chunk, rays
+            )
+            if which == 0:
+                acc_a = acc
+            else:
+                acc_b = acc
+            offset += spp_chunk
+        pairs += 1
+        if pairs >= next_check:
+            next_check *= 2
+            a = _np.asarray(_tm.tonemap(acc_a.image(), gamma=2.0), _np.float64)
+            b = _np.asarray(_tm.tonemap(acc_b.image(), gamma=2.0), _np.float64)
+            noise = float(_np.sqrt(_np.mean((a - b) ** 2))) / 2.0
+            if noise <= target:
+                break
+    merged = Accumulator(
+        radiance_sum=acc_a.radiance_sum + acc_b.radiance_sum,
+        sample_count=acc_a.sample_count + acc_b.sample_count,
+        rays_traced=acc_a.rays_traced + acc_b.rays_traced,
+    )
+    return merged, noise, 2 * pairs * spp_chunk

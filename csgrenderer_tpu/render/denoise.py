@@ -133,12 +133,20 @@ def denoise_frame(
     hit_fn,
     camera,
     sky: str = "rtiow",
+    row_chunk: int | None = None,
     **kwargs,
 ) -> Array:
     """One-call convenience: render the AOVs for ``camera`` at the image's
-    resolution and a-trous-denoise ``color`` with them."""
+    resolution and a-trous-denoise ``color`` with them.
+
+    ``sky`` MUST match the sky mode the beauty frame was rendered with:
+    the albedo guide on miss pixels is the sky color, and a mismatched one
+    puts a false albedo edge under every sky pixel (demodulation still
+    round-trips, but the luminance guide compares against the wrong
+    albedo). PathTraceRenderer plumbs its RenderConfig.sky here.
+    """
     from .aov import render_aovs
 
     h, w = color.shape[0], color.shape[1]
-    aovs = render_aovs(hit_fn, camera, w, h, sky=sky)
+    aovs = render_aovs(hit_fn, camera, w, h, sky=sky, row_chunk=row_chunk)
     return atrous_denoise(color, aovs, **kwargs)

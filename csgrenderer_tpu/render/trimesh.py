@@ -39,22 +39,72 @@ class MeshScene(NamedTuple):
         """Unit geometric normals (right-hand winding)."""
         return vec.normalized(jnp.cross(self.e1, self.e2), eps=1e-20)
 
-    def nearest_hit(self, o: Array, d: Array, eps: float = 1e-3) -> SurfaceHit:
-        """Möller-Trumbore over all faces, vectorized [N, F]."""
+    def nearest_hit(
+        self, o: Array, d: Array, eps: float = 1e-3,
+        face_chunk: int | None = None,
+    ) -> SurfaceHit:
+        """Möller-Trumbore over all faces, vectorized [N, F].
+
+        ``face_chunk``: when set, the [N, F] candidate plane is never
+        materialized — a ``lax.scan`` over F/face_chunk face blocks carries
+        only the running (best t, best face id) per ray, bounding memory at
+        N x face_chunk regardless of mesh size (the AOV/G-buffer path at
+        100k+ faces; the beauty path at that scale uses the Pallas stream
+        kernels instead).
+        """
         flat_o = o.reshape(-1, 3)
         flat_d = d.reshape(-1, 3)
-        pvec = jnp.cross(flat_d[:, None, :], self.e2[None, :, :])  # [N,F,3]
-        det = jnp.sum(self.e1[None] * pvec, axis=-1)  # [N,F]
-        inv_det = 1.0 / det  # +-inf/NaN on degenerate: comparisons reject
-        tvec = flat_o[:, None, :] - self.v0[None]
-        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-        qvec = jnp.cross(tvec, self.e1[None])
-        v = jnp.sum(flat_d[:, None, :] * qvec, axis=-1) * inv_det
-        t = jnp.sum(self.e2[None] * qvec, axis=-1) * inv_det
-        valid = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > eps)
-        t = jnp.where(valid, t, jnp.float32(1e30))
-        idx = jnp.argmin(t, axis=-1)  # [N]
-        t_hit = jnp.take_along_axis(t, idx[:, None], axis=-1)[:, 0]
+
+        def candidates(v0, e1, e2):
+            """Per-(ray, face-block) hit t: [N, C], misses = 1e30."""
+            pvec = jnp.cross(flat_d[:, None, :], e2[None, :, :])  # [N,C,3]
+            det = jnp.sum(e1[None] * pvec, axis=-1)  # [N,C]
+            inv_det = 1.0 / det  # +-inf/NaN on degenerate: comparisons reject
+            tvec = flat_o[:, None, :] - v0[None]
+            u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+            qvec = jnp.cross(tvec, e1[None])
+            v = jnp.sum(flat_d[:, None, :] * qvec, axis=-1) * inv_det
+            t = jnp.sum(e2[None] * qvec, axis=-1) * inv_det
+            valid = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > eps)
+            return jnp.where(valid, t, jnp.float32(1e30))
+
+        n_rays = flat_o.shape[0]
+        faces = self.num_faces
+        if face_chunk is None or face_chunk >= faces:
+            t = candidates(self.v0, self.e1, self.e2)
+            idx = jnp.argmin(t, axis=-1)  # [N]
+            t_hit = jnp.take_along_axis(t, idx[:, None], axis=-1)[:, 0]
+        else:
+            from jax import lax
+
+            chunk = int(face_chunk)
+            pad = (-faces) % chunk
+            # zero-padded faces have det=0 -> NaN u/v -> rejected above
+            v0p = jnp.concatenate([self.v0, jnp.zeros((pad, 3), self.v0.dtype)])
+            e1p = jnp.concatenate([self.e1, jnp.zeros((pad, 3), self.e1.dtype)])
+            e2p = jnp.concatenate([self.e2, jnp.zeros((pad, 3), self.e2.dtype)])
+            blocks = (faces + pad) // chunk
+            v0b = v0p.reshape(blocks, chunk, 3)
+            e1b = e1p.reshape(blocks, chunk, 3)
+            e2b = e2p.reshape(blocks, chunk, 3)
+
+            def step(carry, block):
+                best_t, best_i = carry
+                v0c, e1c, e2c, base = block
+                t = candidates(v0c, e1c, e2c)  # [N, C]
+                li = jnp.argmin(t, axis=-1)
+                lt = jnp.take_along_axis(t, li[:, None], axis=-1)[:, 0]
+                take = lt < best_t
+                best_i = jnp.where(take, base + li.astype(jnp.int32), best_i)
+                best_t = jnp.where(take, lt, best_t)
+                return (best_t, best_i), None
+
+            init = (
+                jnp.full((n_rays,), 1e30, jnp.float32),
+                jnp.zeros((n_rays,), jnp.int32),
+            )
+            bases = (jnp.arange(blocks, dtype=jnp.int32) * chunk)
+            (t_hit, idx), _ = lax.scan(step, init, (v0b, e1b, e2b, bases))
         hit = t_hit < jnp.float32(5e29)
 
         n_geo = self.face_normals[idx]  # [N,3]

@@ -25,6 +25,10 @@ class RenderConfig:
     lens: bool = False
     nee: bool = False  # next-event estimation (emissive SphereScenes)
     debug: bool = False  # enables NaN checking (the "validation layer" mode)
+    # a-trous/SVGF denoise of the linear radiance before tonemap, guided
+    # by the deterministic AOV G-buffer (render/denoise.py, render/aov.py)
+    denoise: bool = False
+    denoise_iterations: int = 4
 
     def __post_init__(self):
         if self.width <= 0 or self.height <= 0:
@@ -33,6 +37,8 @@ class RenderConfig:
             raise ValueError("spp and max_bounces must be positive")
         if self.sky not in ("rtiow", "wololo", "black"):
             raise ValueError(f"bad sky mode {self.sky!r}")
+        if self.denoise_iterations < 1:
+            raise ValueError("denoise_iterations must be >= 1")
 
     @property
     def aspect_ratio(self) -> float:

@@ -60,6 +60,16 @@ def main(argv=None):
     ap.add_argument("--spp", type=int, default=2,
                     help="samples/pixel/frame for the path-traced scenes")
     ap.add_argument("--bounces", type=int, default=8)
+    ap.add_argument("--denoise", action="store_true",
+                    help="a-trous/SVGF denoise each low-spp frame against "
+                    "the deterministic AOV G-buffer — the classic realtime "
+                    "path-tracing configuration (2 spp + denoise)")
+    ap.add_argument("--denoise-iters", type=int, default=3,
+                    help="a-trous passes per frame (3 keeps it realtime)")
+    ap.add_argument("--target-noise", type=float, default=None,
+                    help="adapt spp per frame toward this MEASURED noise "
+                    "level (two-stream estimate, app/adaptive.py) instead "
+                    "of a fixed --spp")
     ap.add_argument("--serve", type=int, default=None, metavar="PORT",
                     help="live MJPEG preview: watch the run in a browser "
                     "at http://127.0.0.1:PORT/ (app/preview.py — the "
@@ -92,6 +102,7 @@ def main(argv=None):
         from csgrenderer_tpu.models import night_scene, rtiow_final_scene
 
         aspect = args.width / args.height
+        dn = dict(denoise=args.denoise, denoise_iterations=args.denoise_iters)
         if args.scene == "rtiow":
             scene = rtiow_final_scene()
             cam = Camera.look_at((13, 2, 3), (0, 0, 0), vfov_degrees=20.0,
@@ -99,15 +110,22 @@ def main(argv=None):
                                  focus_dist=10.0)
             cfg = RenderConfig(width=args.width, height=args.height,
                                spp=args.spp, max_bounces=args.bounces,
-                               seed=6, lens=True)
+                               seed=6, lens=True, **dn)
         else:  # night: NEE + MIS, live
             scene = night_scene()
             cam = Camera.look_at((6.5, 2.2, 6.5), (0.0, 0.6, 0.0),
                                  vfov_degrees=32.0, aspect_ratio=aspect)
             cfg = RenderConfig(width=args.width, height=args.height,
                                spp=args.spp, max_bounces=args.bounces,
-                               seed=6, sky="black", nee=True)
+                               seed=6, sky="black", nee=True, **dn)
         renderer = PathTraceRenderer(scene, cam, cfg, advance_samples=True)
+        if args.target_noise is not None:
+            from csgrenderer_tpu.app.adaptive import AdaptiveSppRenderer
+
+            renderer = AdaptiveSppRenderer(
+                scene, cam, cfg, target=args.target_noise,
+                probe_stride=16,
+            )
     app = App(
         target_updates_per_sec=60.0,
         width=args.width,

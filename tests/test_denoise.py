@@ -145,3 +145,86 @@ def test_denoise_is_jit_pure():
         noisy, aovs
     )
     assert np.allclose(np.asarray(eager), np.asarray(jitted), atol=1e-6)
+
+
+# -- round 5: the denoiser as a framework citizen (VERDICT item 2) ----------
+
+
+def test_aov_row_chunking_matches_unchunked(diffuse_setup):
+    scene, camera = diffuse_setup
+    full = render_aovs(scene.nearest_hit, camera, W, H)
+    # 7 doesn't divide H=54 -> falls back to the largest divisor <= 7 (6)
+    chunked = render_aovs(scene.nearest_hit, camera, W, H, row_chunk=7)
+    assert np.array_equal(np.asarray(full.hit), np.asarray(chunked.hit))
+    for a, b in zip(full[:3], chunked[:3]):
+        # lax.map re-fuses the block body: last-ulp XLA:CPU differences
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_mesh_face_chunking_matches_unchunked():
+    from csgrenderer_tpu.render.trimesh import icosphere
+    from csgrenderer_tpu.scene.graph import Material
+
+    mesh = icosphere((0, 0, -2), 0.8, Material.lambertian((0.6, 0.3, 0.2)),
+                     subdivisions=2)  # 320 faces
+    camera = Camera.look_at(
+        (0, 0, 0), (0, 0, -1), vfov_degrees=60.0, aspect_ratio=1.0
+    )
+    full = render_aovs(mesh.nearest_hit, camera, 32, 32)
+    chunked = render_aovs(
+        lambda o, d: mesh.nearest_hit(o, d, face_chunk=48),  # pads 320->336
+        camera, 32, 32, row_chunk=8,
+    )
+    assert np.array_equal(np.asarray(full.hit), np.asarray(chunked.hit))
+    for a, b in zip(full[:3], chunked[:3]):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_renderer_denoise_wiring_improves_rmse(diffuse_setup):
+    """PathTraceRenderer(denoise=True) beats the raw frame against a
+    converged reference — the full production wiring, not the bare filter."""
+    from csgrenderer_tpu.app.renderers import PathTraceRenderer
+    from csgrenderer_tpu.utils.config import RenderConfig
+
+    scene, camera = diffuse_setup
+    base = dict(width=W, height=H, spp=2, max_bounces=4, seed=0)
+    raw_r = PathTraceRenderer(
+        scene, camera, RenderConfig(**base), backend="jnp"
+    )
+    den_r = PathTraceRenderer(
+        scene, camera, RenderConfig(**base, denoise=True), backend="jnp"
+    )
+    ref, _ = render_image(
+        scene.nearest_hit, camera, W, H, spp=256, max_bounces=4, seed=1
+    )
+    ref8 = np.asarray(raw_r._tonemap(ref), np.float32)
+    raw = np.asarray(raw_r.draw_frame(0.0), np.float32)
+    den = np.asarray(den_r.draw_frame(0.0), np.float32)
+    rmse_raw = np.sqrt(np.mean((raw - ref8) ** 2))
+    rmse_den = np.sqrt(np.mean((den - ref8) ** 2))
+    assert rmse_den < 0.6 * rmse_raw
+    # async path produces the identical denoised frame
+    img_async, _ = den_r.draw_frame_async(0.0)
+    assert np.array_equal(np.asarray(img_async), den)
+
+
+def test_renderer_denoise_animated_tape():
+    """Animated CompiledTape scenes denoise against the FRAME-TIME
+    geometry (the AOV step re-applies `animate` inside jit)."""
+    from csgrenderer_tpu.app.renderers import PathTraceRenderer
+    from csgrenderer_tpu.models import animated_csg_scene
+    from csgrenderer_tpu.utils.config import RenderConfig
+
+    graph, animate = animated_csg_scene(3)
+    cam = Camera.look_at(
+        (0, 2.0, 7.0), (0.5, 0, 0), vfov_degrees=40.0, aspect_ratio=1.5
+    )
+    cfg = RenderConfig(width=48, height=32, spp=2, max_bounces=3,
+                      denoise=True, denoise_iterations=2)
+    r = PathTraceRenderer(graph.compile(), cam, cfg, animate=animate,
+                          backend="jnp")
+    f0 = np.asarray(r.draw_frame(0.0))
+    f1 = np.asarray(r.draw_frame(1.0))
+    assert f0.shape == (32, 48, 3)
+    assert not np.array_equal(f0, f1)  # geometry (and its AOVs) moved
+    assert np.isfinite(f0.astype(np.float64)).all()

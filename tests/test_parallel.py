@@ -171,3 +171,32 @@ def test_pallas_vma_checker_still_unsupported():
     )
     with pytest.raises(Exception, match="varying manual axes|vma"):
         fn().block_until_ready()
+
+
+def test_render_to_noise_sharded_matches_single_device(setup):
+    """The two-stream noise certificate is sharding-invariant (round 5,
+    VERDICT item 5): the sharded accumulation reproduces the single-device
+    render_to_noise bit stream, so its measured noise and spp count are
+    EXACTLY the single-device ones."""
+    from csgrenderer_tpu.app.renderers import PathTraceRenderer
+    from csgrenderer_tpu.parallel import render_to_noise_sharded
+    from csgrenderer_tpu.utils.config import RenderConfig
+
+    scene, cam, _, _ = setup
+    cfg = RenderConfig(width=64, height=32, spp=4, max_bounces=4, seed=9)
+    single = PathTraceRenderer(scene, cam, cfg, backend="jnp")
+    acc_s, noise_s, used_s = single.render_to_noise(
+        target=5e-3, max_spp=64
+    )
+
+    mesh = make_mesh(4, 2)
+    acc_m, noise_m, used_m = render_to_noise_sharded(
+        scene, cam, 64, 32, mesh, target=5e-3, max_spp=64, spp_chunk=4,
+        max_bounces=4, seed=9, backend="jnp",
+    )
+    assert used_m == used_s
+    assert noise_m == pytest.approx(noise_s, rel=1e-5)
+    assert int(acc_m.rays_traced) == int(acc_s.rays_traced)
+    np.testing.assert_allclose(
+        np.asarray(acc_m.image()), np.asarray(acc_s.image()), atol=1e-5
+    )
