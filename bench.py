@@ -8,6 +8,11 @@ Rays are counted as actually-traced path segments (sum of active rays over
 every bounce of every sample), matching SURVEY §5's accounting. The p50
 frame time at 16 spp is reported alongside as a secondary metric.
 
+Protocol (round 5): ``value`` is the MEDIAN-frame throughput over
+``--frames`` identical frames (fresh sample offsets each) — the
+reproducible statistic under the axon tunnel's timing noise; the
+mean-of-N is reported as ``value_mean`` with the raw frame times.
+
 Usage:
   python bench.py              # full: 1080p, 64 spp (the BASELINE config)
   python bench.py --quick      # small sanity run (CPU-friendly)
@@ -110,9 +115,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--backend", default="auto", choices=["auto", "jnp", "pallas"])
-    # 3 frames: each 64-spp frame is ~0.9 s on-chip, well under the
-    # tunnel's 2-min execution kill, and the median is meaningful
-    ap.add_argument("--frames", type=int, default=3)
+    # 5 frames: each 64-spp frame is ~1.5 s wall under the tunnel, well
+    # under its 2-min execution kill, and the MEDIAN frame is robust to
+    # the tunnel's occasional multi-hundred-ms hiccups (round-5
+    # reproducibility protocol — the round-4 mean-of-3 read 721 vs the
+    # builder's 750 for the same kernel)
+    ap.add_argument("--frames", type=int, default=5)
     ap.add_argument(
         "--p50", default=True,
         action=argparse.BooleanOptionalAction,
@@ -178,8 +186,14 @@ def main():
     fn = build_renderer(width, height, spp, bounces, backend)
     int(fn(jnp.uint32(0))[1])  # compile + warm up (scalar readback = fence)
     times, rays = time_frames(fn, args.frames)
-    total_time = sum(times)
-    mrays = rays / total_time / 1e6
+    # MEDIAN-frame throughput (round 5): rays/frame is identical across
+    # frames (same shape, fresh sample offsets), so per-frame Mrays/s =
+    # (rays/frames)/t_i; the median is the reproducible statistic under
+    # tunnel timing noise (mean-of-N regressed 4% on a single slow
+    # frame in BENCH_r04). doc/PERF_NOTES "Measurement hygiene".
+    rays_per_frame = rays / len(times)
+    mrays = rays_per_frame / statistics.median(times) / 1e6
+    mrays_mean = rays / sum(times) / 1e6
 
     # --- secondary: p50 frame time at 16 spp (opt-in: costs a 2nd compile) ---
     if args.p50:
@@ -226,6 +240,8 @@ def main():
         "platform": platform,
         "frames": args.frames,
         "rays": rays,
+        "value_mean": round(mrays_mean, 2),
+        "frame_times_s": [round(t, 4) for t in times],
     }
     print(json.dumps(result))
     return 0

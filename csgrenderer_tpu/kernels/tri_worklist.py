@@ -130,6 +130,18 @@ class TriGridStatic(NamedTuple):
     # (hundreds of MB), the per-trip cost gains only the k page-copy
     # latencies (~63 KB each, started together and overlapped).
     hbm_table: int = 0
+    # NARROW PAGES (round 5): logical page width in chunk columns. The
+    # serve dot's MAC volume is rr x (k * page_w) x 128 — the round-4f
+    # roofline showed only ~21 of a served 128-column page's lanes are
+    # wanted, so narrowing the page cuts the contraction dim
+    # proportionally as long as demand stays Morton-local (distinct
+    # pages per group grows slower than 128/page_w). Physical layout:
+    # page p occupies rows [p*rr_pad, (p+1)*rr_pad) with lanes
+    # [0:page_w] holding its chunks (the narrow slab is then a STATIC
+    # lane slice — no dynamic minor-dim slicing); VMEM cost scales by
+    # 128/page_w. Output is bit-identical at any width (each lane's
+    # chunk chain is served in the same order). CSGR_STREAM_PW knob.
+    page_w: int = 128
 
 
 class TriGridPack(NamedTuple):
@@ -320,8 +332,14 @@ def pack_tri_grid(
     """
     from ..render.trimesh import MeshScene
 
+    import os as _envos
+
     key = (id(mesh.v0), id(mesh.e1), m_max, max_dense, max_compact,
-           str(stream), gather_pages)
+           str(stream), gather_pages,
+           _envos.environ.get("CSGR_STREAM_NSIDE", ""),
+           _envos.environ.get("CSGR_STREAM_PW", ""),
+           _envos.environ.get("CSGR_STREAM_Q", ""),
+           _envos.environ.get("CSGR_STREAM_Q1", ""))
     cached = _PACK_CACHE.get(key)
     if cached is not None and cached[0] is mesh.v0:
         return cached[1]
@@ -497,6 +515,10 @@ def pack_tri_grid(
     # packer's score omits column efficiency — lanes served per page —
     # so the rung sweep must be measured, doc/PERF_NOTES round 4)
     _force_ns = int(_os.environ.get("CSGR_STREAM_NSIDE", "0"))
+    # round 5: logical page width (must divide 128; VMEM cost scales by
+    # 128/page_w — see TriGridStatic.page_w)
+    _page_w = int(_os.environ.get("CSGR_STREAM_PW", "128"))
+    assert _page_w in (8, 16, 32, 64, 128), "CSGR_STREAM_PW must divide 128"
     for n_side in (3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32, 40, 48, 64):
         have = (best_t is not None) and (
             best_s is not None or not stream_ok
@@ -559,20 +581,27 @@ def pack_tri_grid(
             # this).
             fits = False
             hbm = False
-            # census knob: force the 1-block chunk (q=6, rr=115 — half
-            # the per-serve MACs, ~1.67x the chain length at 15k)
-            _q_opts = (
-                (_STREAM_Q,)
-                if _os.environ.get("CSGR_STREAM_Q1")
-                else (_STREAM_Q2, _STREAM_Q)
-            )
+            # census knobs: CSGR_STREAM_Q pins the chunk slot count
+            # outright; CSGR_STREAM_Q1 forces the 1-block chunk (q=6,
+            # rr=115 — half the per-serve MACs, ~1.67x the chain length
+            # at 15k)
+            _q_env = int(_os.environ.get("CSGR_STREAM_Q", "0"))
+            if _q_env:
+                _q_opts = (_q_env,)
+            elif _os.environ.get("CSGR_STREAM_Q1"):
+                _q_opts = (_STREAM_Q,)
+            else:
+                _q_opts = (_STREAM_Q2, _STREAM_Q)
             for q_s in _q_opts:
                 chunks_per_cell = np.ceil(occs / q_s)
                 n_chunks = int(chunks_per_cell.sum())
-                w_est = int(np.ceil(n_chunks / 128.0)) * 128
+                # physical table rows = n_pages * rr_pad with 128 lanes
+                # each (narrow pages use only lanes [0:page_w]) — the
+                # device table is bf16 (2 bytes)
+                rr_p = int(np.ceil((N_SECTIONS * q_s + 1) / 8.0)) * 8
+                n_pg_est = int(np.ceil(n_chunks / float(_page_w)))
                 fits = (
-                    (N_SECTIONS * q_s + 1) * w_est * 2
-                    <= _STREAM_TABLE_BYTES
+                    n_pg_est * rr_p * 128 * 2 <= _STREAM_TABLE_BYTES
                     and n_chunks < int(PAD_CI) - 128
                 )
                 if fits:
@@ -581,7 +610,7 @@ def pack_tri_grid(
                 # phase B: table too big for VMEM -> HBM residency with
                 # per-trip page DMA. Only the chunk ID SPACE still
                 # binds (compact ids must stay below PAD_CI).
-                q_s = _STREAM_Q2
+                q_s = _q_env or _STREAM_Q2
                 chunks_per_cell = np.ceil(occs / q_s)
                 n_chunks = int(chunks_per_cell.sum())
                 fits = n_chunks < int(PAD_CI) - 128
@@ -674,7 +703,7 @@ def pack_tri_grid(
                 chunk_cols.append(
                     (ci, l[c * q_s : (c + 1) * q_s], c < n_ch - 1)
                 )
-        w = int(np.ceil(len(chunk_cols) / 128.0)) * 128
+        w = int(np.ceil(len(chunk_cols) / float(_page_w))) * _page_w
         tiers = [(q_s, w, 0)]
         tables = [np.zeros((N_SECTIONS * q_s + 1, w), np.float32)]
         n_compact = w
@@ -781,11 +810,14 @@ def pack_tri_grid(
         # tools/exp_slab.py)
         rr = table.shape[0]
         rr_pad = int(np.ceil(rr / 8.0)) * 8  # 8-aligned slab offsets
-        n_pg = w // 128
+        n_pg = w // _page_w
+        # narrow pages (page_w < 128): page p's chunks live in lanes
+        # [0:page_w] of its slab; the trailing lanes stay zero so the
+        # in-kernel narrow slice is STATIC ([:, :page_w])
         paged_tab = np.zeros((n_pg, rr_pad, 128), np.float32)
-        paged_tab[:, :rr, :] = table.reshape(rr, n_pg, 128).transpose(
-            1, 0, 2
-        )
+        paged_tab[:, :rr, :_page_w] = table.reshape(
+            rr, n_pg, _page_w
+        ).transpose(1, 0, 2)
         tables[0] = np.ascontiguousarray(
             paged_tab.reshape(n_pg * rr_pad, 128)
         )
@@ -843,6 +875,7 @@ def pack_tri_grid(
         n_pages=n_pages,
         gather_pages=gather_pages if mode == "stream" else 0,
         hbm_table=int(hbm_chosen),
+        page_w=_page_w if mode == "stream" else 128,
     )
     # global-face material ids (for the shared shade-time mat gather)
     glob_mat = face_mat[globals_idx].astype(np.float32)
@@ -1112,6 +1145,17 @@ def _stream_sort_on():
     return _os.environ.get("CSGR_STREAM_SORT", "0") == "1"
 
 
+def _stream_stub():
+    """Round-5 census knob: CSGR_STUB=mt inside the STREAM service skips
+    the per-serve Moller-Trumbore while keeping vote + slices + one-hot
+    + dot + flag walk real. Output WRONG (no hits) — timing only; pairs
+    with CSGR_STUB=gather (identical ray paths, zero service) so the
+    difference prices the service scaffold."""
+    import os as _os
+
+    return _os.environ.get("CSGR_STUB", "")
+
+
 def _hbm_vote_mode():
     """Phase-B (HBM table) vote mode: "global" = tile-global top-k, one
     shared DMA'd slab set, every group dots all k slabs (round 3b).
@@ -1263,8 +1307,15 @@ def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps,
     rr = N_SECTIONS * q_s + 1
     rr_pad = int(np.ceil(rr / 8.0)) * 8  # packer's 8-aligned slab rows
     flag_row = N_SECTIONS * q_s  # continuation-flag row index
-    pbig = np.float32(w_s // 128)  # sentinel > any real page
-    inv128 = np.float32(1.0 / 128.0)
+    page_w = int(getattr(gs, "page_w", 128) or 128)
+    pbig = np.float32(w_s // page_w)  # sentinel > any real page
+    inv128 = np.float32(1.0 / page_w)
+    page_w_f = np.float32(page_w)
+
+    def _narrow(slab):
+        # narrow pages: real chunks live in lanes [0:page_w]; the STATIC
+        # lane slice shrinks the serve dot's contraction dim to page_w
+        return slab if page_w == 128 else slab[:, :page_w]
     pad_ci = np.float32(PAD_CI)
     big = BIG
     dx, dy, dz = d
@@ -1290,7 +1341,7 @@ def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps,
         ndb = nd > 0
         pg = jnp.where(ndb, jnp.floor(cur * inv128), pbig)  # [8,128]
         iota_f = jax.lax.broadcasted_iota(
-            jnp.int32, (128, TILE_LANES), 0
+            jnp.int32, (page_w, TILE_LANES), 0
         ).astype(jnp.float32)
         tc_rows = []
         flag_rows = []
@@ -1324,6 +1375,16 @@ def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps,
             flag_rows.append(
                 (got[flag_row : flag_row + 1] > 0.0).astype(jnp.int32)
             )
+            if _stream_stub() == "mt":
+                # census only (CSGR_STUB=mt, round 5): real vote + slices
+                # + one-hot + dot + flags (chains walk for real), but the
+                # Moller-Trumbore math is skipped — tc=big keeps the ray
+                # paths IDENTICAL to CSGR_STUB=gather, so (mt - gather)
+                # prices the service scaffold exactly.
+                tc_rows.append(jnp.where(got[0:1] > big, got[0:1], big))
+                for j in range(N_ATTRS):
+                    a_rows[j].append(got[j : j + 1] * 0.0)
+                return
             row_ctx = (
                 dx[g : g + 1], dy[g : g + 1], dz[g : g + 1],
                 tox[g : g + 1], toy[g : g + 1], toz[g : g + 1],
@@ -1345,7 +1406,7 @@ def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps,
                 rem = jnp.where(pg_m == p_j, pbig, rem)
                 locals_v.append(jnp.where(
                     ndb_m & (pg_m == p_j),
-                    cur_m - p_j * np.float32(128.0), np.float32(-1.0),
+                    cur_m - p_j * page_w_f, np.float32(-1.0),
                 ))
                 p_is_v.append(
                     jnp.minimum(p_j, pbig - 1.0).astype(jnp.int32)
@@ -1370,7 +1431,7 @@ def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps,
                 sel = pg == p_j
                 rem = jnp.where(sel, pbig, rem)
                 locals_all.append(jnp.where(
-                    ndb & sel, cur - p_j * np.float32(128.0),
+                    ndb & sel, cur - p_j * page_w_f,
                     np.float32(-1.0),
                 ))
                 p_rows.append(jnp.minimum(p_j, pbig - 1.0))
@@ -1392,9 +1453,9 @@ def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps,
             for g in range(TILE_ROWS):
                 base = g * k_pages
                 slabs = [
-                    scratch[
+                    _narrow(scratch[
                         (base + j) * rr_pad : (base + j + 1) * rr_pad, :
-                    ]
+                    ])
                     for j in range(k_pages)
                 ]
                 slab_cat = (
@@ -1426,7 +1487,7 @@ def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps,
             for cp in copies:
                 cp.wait()
             slabs = [
-                scratch[j * rr_pad : (j + 1) * rr_pad, :]
+                _narrow(scratch[j * rr_pad : (j + 1) * rr_pad, :])
                 for j in range(k_pages)
             ]
             # tile-served set = the k smallest pending pages, so a
@@ -1460,16 +1521,16 @@ def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps,
                 sel = pg == p_j
                 rem = jnp.where(sel, pbig, rem)
                 locals_all.append(jnp.where(
-                    ndb & sel, cur - p_j * np.float32(128.0),
+                    ndb & sel, cur - p_j * page_w_f,
                     np.float32(-1.0),
                 ))
                 p_rows.append(jnp.minimum(p_j, pbig - 1.0))
             on_p = ndb & (pg <= p_rows[-1])  # [8,128] block form
             for g in range(TILE_ROWS):
                 slabs = [
-                    _page_slab(
+                    _narrow(_page_slab(
                         tab, p_rows[j][g, 0].astype(jnp.int32), rr_pad
-                    )
+                    ))
                     for j in range(k_pages)
                 ]
                 slab_cat = (
@@ -1497,7 +1558,10 @@ def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps,
                 locals_g, p_is_g, p_last = vote(
                     pg_g, ndb[g : g + 1], cur[g : g + 1]
                 )
-                slabs = [_page_slab(tab, p_i, rr_pad) for p_i in p_is_g]
+                slabs = [
+                    _narrow(_page_slab(tab, p_i, rr_pad))
+                    for p_i in p_is_g
+                ]
                 slab_cat = (
                     slabs[0] if k_pages == 1
                     else jnp.concatenate(slabs, axis=1)

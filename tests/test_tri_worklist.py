@@ -352,6 +352,37 @@ def test_stream_sort_knob_bit_identity(monkeypatch, knob, vals):
     assert (outs[0][0] == outs[1][0]).all()
 
 
+@pytest.mark.parametrize("hbm", [False, True])
+def test_stream_narrow_pages_bit_identity(monkeypatch, hbm):
+    """Narrow logical pages (CSGR_STREAM_PW, round 5) repack the chunk
+    table page-w chunks per slab and serve a STATIC lane slice — each
+    lane's chunk chain is walked in the same order at any width, so
+    images must be BIT-IDENTICAL to the 128-wide default, on both the
+    VMEM-resident and HBM-DMA table paths."""
+    from csgrenderer_tpu.kernels import tri_worklist as twl
+
+    if hbm:
+        monkeypatch.setattr(twl, "_STREAM_TABLE_BYTES", 1)
+    mesh = demo_mesh(2)
+    cam = Camera.look_at(
+        (0.0, 1.6, 2.2), (0.0, 0.7, -2.6),
+        vfov_degrees=45.0, aspect_ratio=64 / 36,
+    )
+    outs = []
+    for pw in ("128", "32", "8"):
+        monkeypatch.setenv("CSGR_STREAM_PW", pw)
+        twl._PACK_CACHE.clear()
+        img, rays = render_image_mesh_pallas(
+            mesh, cam, 64, 36, spp=2, max_bounces=4, seed=7,
+            interpret=True, worklist="stream", gather_pages=2,
+        )
+        outs.append((np.asarray(img), int(rays)))
+    twl._PACK_CACHE.clear()
+    for img, rays in outs[1:]:
+        assert rays == outs[0][1]
+        assert (img == outs[0][0]).all()
+
+
 def test_hbm_vote_modes_bit_identity(monkeypatch):
     """HBM per-group block voting (the round-4 default, 245k 1.0 -> 1.2
     Mrays/s) serves pages in a different ORDER than tile-global voting
