@@ -68,8 +68,12 @@ N_ATTRS = len(ATTR_NAMES)
 # iota (tier offsets stay far below), bf16-exact (256 * 255)
 PAD_CI = 65280.0
 # stream-mode bf16 tier-table VMEM budget (the table shares ~16 MB VMEM
-# with the dense map, mats, and the wavefront's live planes)
-_STREAM_TABLE_BYTES = 9 << 20
+# with the dense map, mats, and the wavefront's live planes).
+# CSGR_STREAM_TABLE_BYTES overrides for census runs (e.g. "1" forces the
+# HBM-resident DMA service on meshes whose table would fit VMEM).
+_STREAM_TABLE_BYTES = int(
+    __import__("os").environ.get("CSGR_STREAM_TABLE_BYTES", str(9 << 20))
+)
 # stream-mode chunk widths: N_SECTIONS*q + 1 flag row packed into k
 # 128-row MXU blocks. The 2-block chunk (19*13+1 = 248) halves chain
 # length vs the 1-block one (19*6+1 = 115) for the same dot issue count,
@@ -516,9 +520,22 @@ def pack_tri_grid(
     # so the rung sweep must be measured, doc/PERF_NOTES round 4)
     _force_ns = int(_os.environ.get("CSGR_STREAM_NSIDE", "0"))
     # round 5: logical page width (must divide 128; VMEM cost scales by
-    # 128/page_w — see TriGridStatic.page_w)
-    _page_w = int(_os.environ.get("CSGR_STREAM_PW", "128"))
-    assert _page_w in (8, 16, 32, 64, 128), "CSGR_STREAM_PW must divide 128"
+    # 128/page_w — see TriGridStatic.page_w). MEASURED DEFAULT: pw=64
+    # when the VMEM budget allows (15k 12.3 -> 14.4, 61k 5.7 -> 6.7
+    # Mrays/s; pw=32 regressed to 13.0 at 15k — a ~210 ns non-MAC serve
+    # floor, doc/PERF_NOTES round 5), falling back to 128 when the
+    # 2x table doesn't fit. HBM-resident tables stay 128: the DMA slab
+    # is physically 128 lanes wide either way, so narrow pages would
+    # only double the page count and the DMA traffic.
+    _pw_env = _os.environ.get("CSGR_STREAM_PW", "")
+    if _pw_env:
+        assert int(_pw_env) in (8, 16, 32, 64, 128), \
+            "CSGR_STREAM_PW must divide 128"
+        _pw_opts = (int(_pw_env),)
+        _pw_hbm = int(_pw_env)
+    else:
+        _pw_opts = (64, 128)
+        _pw_hbm = 128
     for n_side in (3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32, 40, 48, 64):
         have = (best_t is not None) and (
             best_s is not None or not stream_ok
@@ -592,18 +609,22 @@ def pack_tri_grid(
                 _q_opts = (_STREAM_Q,)
             else:
                 _q_opts = (_STREAM_Q2, _STREAM_Q)
+            pw_c = _pw_opts[0]
             for q_s in _q_opts:
-                chunks_per_cell = np.ceil(occs / q_s)
-                n_chunks = int(chunks_per_cell.sum())
-                # physical table rows = n_pages * rr_pad with 128 lanes
-                # each (narrow pages use only lanes [0:page_w]) — the
-                # device table is bf16 (2 bytes)
-                rr_p = int(np.ceil((N_SECTIONS * q_s + 1) / 8.0)) * 8
-                n_pg_est = int(np.ceil(n_chunks / float(_page_w)))
-                fits = (
-                    n_pg_est * rr_p * 128 * 2 <= _STREAM_TABLE_BYTES
-                    and n_chunks < int(PAD_CI) - 128
-                )
+                for pw_c in _pw_opts:
+                    chunks_per_cell = np.ceil(occs / q_s)
+                    n_chunks = int(chunks_per_cell.sum())
+                    # physical table rows = n_pages * rr_pad with 128
+                    # lanes each (narrow pages use only lanes
+                    # [0:page_w]) — the device table is bf16 (2 bytes)
+                    rr_p = int(np.ceil((N_SECTIONS * q_s + 1) / 8.0)) * 8
+                    n_pg_est = int(np.ceil(n_chunks / float(pw_c)))
+                    fits = (
+                        n_pg_est * rr_p * 128 * 2 <= _STREAM_TABLE_BYTES
+                        and n_chunks < int(PAD_CI) - 128
+                    )
+                    if fits:
+                        break
                 if fits:
                     break
             if not fits:
@@ -611,6 +632,7 @@ def pack_tri_grid(
                 # per-trip page DMA. Only the chunk ID SPACE still
                 # binds (compact ids must stay below PAD_CI).
                 q_s = _q_env or _STREAM_Q2
+                pw_c = _pw_hbm
                 chunks_per_cell = np.ceil(occs / q_s)
                 n_chunks = int(chunks_per_cell.sum())
                 fits = n_chunks < int(PAD_CI) - 128
@@ -635,7 +657,7 @@ def pack_tri_grid(
                 per_cross = 0.4 * (1.0 - frac_occ) + frac_occ * chain_mult
                 cand = (
                     (128.0 * blocks + fixed) * it_factor * per_cross,
-                    -cell, dims, g0, cell, lists, set(), (q_s,),
+                    -cell, dims, g0, cell, lists, set(), (q_s, pw_c),
                 )
                 if hbm:
                     if best_h is None or cand[:2] < best_h[:2]:
@@ -694,6 +716,7 @@ def pack_tri_grid(
 
         cells_sorted = sorted(lists.items(), key=lambda kv: _morton3(kv[0]))
         q_s = bounds[0]
+        _page_w = bounds[1]  # the plan's chosen logical page width
         chunk_cols: list = []  # (cell id, faces, more-follows)
         first_col: dict[int, int] = {}
         for ci, l in cells_sorted:
@@ -1156,6 +1179,17 @@ def _stream_stub():
     return _os.environ.get("CSGR_STUB", "")
 
 
+def _stream_serve_mode():
+    """Round-5 census knob: CSGR_STREAM_SERVE=dma serves VMEM-resident
+    chunk tables through the phase-B DMA-staging path (per-(group,page)
+    async copies into contiguous scratch, one wait, dots from STATIC
+    scratch offsets) instead of inline dynamic slices + lane concat.
+    Prices the vreg->sreg slice-start stalls vs DMA issue overhead."""
+    import os as _os
+
+    return _os.environ.get("CSGR_STREAM_SERVE", "")
+
+
 def _hbm_vote_mode():
     """Phase-B (HBM table) vote mode: "global" = tile-global top-k, one
     shared DMA'd slab set, every group dots all k slabs (round 3b).
@@ -1366,6 +1400,22 @@ def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps,
             ) if k_pages > 1 else (
                 iota_f == locals_g[0]
             ).astype(slab_cat.dtype)
+            if _stream_stub() == "dot":
+                # census only (CSGR_STUB=dot, round 5): vote + slices +
+                # concat + one-hot stay real and the chain FLAGS come
+                # from a thin [1,K] @ [K,128] dot (real chain walk), but
+                # the big [rr,K] gather dot is skipped — (mt - dot)
+                # prices the big dot's MACs exactly.
+                fl = jax.lax.dot_general(
+                    slab_cat[flag_row : flag_row + 1], onehot,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                flag_rows.append((fl > 0.0).astype(jnp.int32))
+                tc_rows.append(jnp.where(fl > big, fl, big))
+                for j in range(N_ATTRS):
+                    a_rows[j].append(fl * 0.0)
+                return
             got = jax.lax.dot_general(
                 slab_cat, onehot, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -1414,8 +1464,10 @@ def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps,
                 p_last = p_j
             return locals_v, p_is_v, p_last
 
-        if (gs.hbm_table and scratch is not None
-                and _hbm_vote_mode() == "block"):
+        if (scratch is not None
+                and ((gs.hbm_table and _hbm_vote_mode() == "block")
+                     or (not gs.hbm_table
+                         and _stream_serve_mode() == "dma"))):
             # phase-B PER-GROUP voting (round 4, see _hbm_vote_mode):
             # block-form vote as in the VMEM path, then one DMA per
             # (group, page) into that group's scratch slots — all 8*k

@@ -105,6 +105,18 @@ def pack_mesh_globals(glob_mesh: MeshScene, glob_mat: np.ndarray):
     return cols
 
 
+def _stream_dma_serve(grid_static):
+    """True when the round-5 CSGR_STREAM_SERVE=dma census mode stages a
+    VMEM-resident stream table through the DMA path (needs the scratch
+    + semaphore the HBM service uses)."""
+    from csgrenderer_tpu.kernels.tri_worklist import _stream_serve_mode
+
+    return (grid_static is not None
+            and grid_static.gather_pages > 0
+            and not grid_static.hbm_table
+            and _stream_serve_mode() == "dma")
+
+
 def _make_kernel(width, height, spp, max_bounces, lens, sky, f_pad, n_pix,
                  grid_static=None, n_globals=0, mat_pad=0, n_lights=0):
     inv_w = np.float32(1.0 / width)
@@ -123,9 +135,10 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, f_pad, n_pix,
             if n_lights:
                 lights_ref = rest2[1]
                 rest2 = rest2[1:]
-            if grid_static.hbm_table:
-                # trailing scratch args (phase B): VMEM slab scratch +
-                # DMA semaphore for the HBM chunk-table page copies
+            if grid_static.hbm_table or _stream_dma_serve(grid_static):
+                # trailing scratch args (phase B, or the round-5
+                # CSGR_STREAM_SERVE=dma staging of VMEM tables): VMEM
+                # slab scratch + DMA semaphore for the page copies
                 stream_scratch = (rest2[-2], rest2[-1])
                 rest2 = rest2[:-2]
             (out_r_ref, out_g_ref, out_b_ref, rays_ref) = rest2[1:]
@@ -625,18 +638,20 @@ def _render_mesh_packed(
             in_specs.append(pl.BlockSpec(
                 memory_space=pltpu.VMEM if n_lights > 8 else pltpu.SMEM
             ))
-        if hbm:
+        if hbm or _stream_dma_serve(grid_static):
             (q_s, _, _), = grid_static.tiers
             rr = N_SECTIONS * q_s + 1  # + continuation-flag row
             rr_pad = int(np.ceil(rr / 8.0)) * 8
             k = max(1, int(grid_static.gather_pages))
             # per-group HBM voting (CSGR_HBM_VOTE=block) DMAs each
-            # group's own k slabs: 8x the scratch slots
+            # group's own k slabs: 8x the scratch slots. The dma-serve
+            # census mode stages VMEM tables the same block-vote way.
             from csgrenderer_tpu.kernels.tri_worklist import (
                 _hbm_vote_mode,
             )
 
-            n_slabs = (TILE_ROWS * k if _hbm_vote_mode() == "block"
+            n_slabs = (TILE_ROWS * k
+                       if (_hbm_vote_mode() == "block" or not hbm)
                        else k)
             scratch_shapes = [
                 pltpu.VMEM(

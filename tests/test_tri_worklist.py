@@ -343,6 +343,10 @@ def test_stream_sort_knob_bit_identity(monkeypatch, knob, vals):
     outs = []
     for v in vals:
         monkeypatch.setenv(knob, v)
+        # the knob is read at TRACE time and is not part of the jit key
+        # (grid_static is unchanged) — clear the trace cache or the
+        # second variant silently reuses the first kernel
+        jax.clear_caches()
         img, rays = render_image_mesh_pallas(
             mesh, cam, 64, 36, spp=2, max_bounces=4, seed=7,
             interpret=True, worklist="stream", gather_pages=2,
@@ -383,6 +387,61 @@ def test_stream_narrow_pages_bit_identity(monkeypatch, hbm):
         assert (img == outs[0][0]).all()
 
 
+def test_stream_page_width_auto_policy(monkeypatch):
+    """With CSGR_STREAM_PW unset the packer prefers pw=64 (measured:
+    15k 12.3 -> 14.4 Mrays/s) when the table fits VMEM, falls back to
+    128 when the 2x table would bust the budget, and keeps 128 for
+    HBM-resident tables (the DMA slab is physically 128 lanes wide)."""
+    from csgrenderer_tpu.kernels import tri_worklist as twl
+
+    monkeypatch.delenv("CSGR_STREAM_PW", raising=False)
+    mesh = demo_mesh(3)
+    twl._PACK_CACHE.clear()
+    pack, _, _ = pack_tri_grid(mesh, stream=True, gather_pages=2)
+    assert pack.static.page_w == 64
+    bytes64 = sum(t.size * 2 for t in pack.tables)
+    # budget below the pw=64 table but above the pw=128 one -> fallback
+    twl._PACK_CACHE.clear()
+    monkeypatch.setattr(twl, "_STREAM_TABLE_BYTES", bytes64 - 1)
+    pack128, _, _ = pack_tri_grid(mesh, stream=True, gather_pages=2)
+    assert pack128.static.page_w == 128
+    assert pack128.static.hbm_table == 0
+    # budget below both -> HBM residency at pw=128
+    twl._PACK_CACHE.clear()
+    monkeypatch.setattr(twl, "_STREAM_TABLE_BYTES", 1)
+    packh, _, _ = pack_tri_grid(mesh, stream=True, gather_pages=2)
+    assert packh.static.hbm_table == 1
+    assert packh.static.page_w == 128
+    twl._PACK_CACHE.clear()
+
+
+def test_stream_dma_serve_bit_identity(monkeypatch):
+    """CSGR_STREAM_SERVE=dma (round 5) stages the VMEM-resident chunk
+    table through the phase-B DMA path (block vote + scratch slabs +
+    static-offset dots). Same pages served in the same order per lane,
+    so images must be BIT-IDENTICAL to the inline-slice default."""
+    from csgrenderer_tpu.kernels import tri_worklist as twl
+
+    mesh = demo_mesh(2)
+    cam = Camera.look_at(
+        (0.0, 1.6, 2.2), (0.0, 0.7, -2.6),
+        vfov_degrees=45.0, aspect_ratio=64 / 36,
+    )
+    outs = []
+    for mode in ("", "dma"):
+        monkeypatch.setenv("CSGR_STREAM_SERVE", mode)
+        twl._PACK_CACHE.clear()
+        jax.clear_caches()  # trace-time knob, same grid_static
+        img, rays = render_image_mesh_pallas(
+            mesh, cam, 64, 36, spp=2, max_bounces=4, seed=7,
+            interpret=True, worklist="stream", gather_pages=2,
+        )
+        outs.append((np.asarray(img), int(rays)))
+    twl._PACK_CACHE.clear()
+    assert outs[0][1] == outs[1][1]
+    assert (outs[0][0] == outs[1][0]).all()
+
+
 def test_hbm_vote_modes_bit_identity(monkeypatch):
     """HBM per-group block voting (the round-4 default, 245k 1.0 -> 1.2
     Mrays/s) serves pages in a different ORDER than tile-global voting
@@ -399,6 +458,7 @@ def test_hbm_vote_modes_bit_identity(monkeypatch):
     outs = []
     for mode in ("global", "block"):
         monkeypatch.setenv("CSGR_HBM_VOTE", mode)
+        jax.clear_caches()  # trace-time knob, same grid_static
         img, rays = render_image_mesh_pallas(
             mesh, cam, 64, 36, spp=2, max_bounces=4, seed=7,
             interpret=True, worklist="stream", gather_pages=2,
