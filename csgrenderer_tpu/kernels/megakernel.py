@@ -599,19 +599,21 @@ def _make_kernel(width, height, spp, max_bounces, lens, sky, s_pad, n_pix,
                 # (cond reduction + backedge) measured ~306 ns/iter,
                 # and the unroll ladder keeps paying past 4 — measured
                 # 64-spp headline 711.7 (u4) / 734.7 (u8) / 750.4 (u16)
-                # Mrays/s (doc/PERF_NOTES round 4e/4f). LOW-spp frames
-                # run only a few hundred steps per tile, so u16's idle
-                # duplicated TAIL steps show: 2-spp realtime measured
-                # u1 36.8 / u16 34.1 / u4 42.1 fps (round 4h) — hence
-                # the spp split. Unlike steps_per_iter (extra DDA work
-                # for lanes that didn't need it), unroll repeats the
-                # WHOLE step — regeneration included — so no lane
-                # wastes work and the output is bit-identical. Off-TPU
-                # the knob only multiplies XLA:CPU compile time (the
-                # 8-device shard_map tests went from ~6 min to wedged-
-                # for-an-hour at unroll=4), so it pays on the real
-                # target only.
-                unroll=(16 if spp >= 8 else 4)
+                # Mrays/s (doc/PERF_NOTES round 4e/4f). The ladder's
+                # peak moves DOWN with spp (fewer steps per tile means
+                # the duplicated tail idles sooner): 16-spp measured
+                # u8 150.6 ms / u16 153.1 / u32 153.8 (round-5 ladder),
+                # and 2-spp realtime measured u1 36.8 / u16 34.1 /
+                # u4 42.1 fps (round 4h) — hence the 3-tier split.
+                # Unlike steps_per_iter (extra DDA work for lanes that
+                # didn't need it), unroll repeats the WHOLE step —
+                # regeneration included — so no lane wastes work and
+                # the output is bit-identical. Off-TPU the knob only
+                # multiplies XLA:CPU compile time (the 8-device
+                # shard_map tests went from ~6 min to wedged-for-an-
+                # hour at unroll=4), so it pays on the real target
+                # only.
+                unroll=(16 if spp >= 32 else (8 if spp >= 8 else 4))
                 if jax.default_backend() == "tpu" else 1,
             )
         out_r_ref[:] = state["rad"][0]
