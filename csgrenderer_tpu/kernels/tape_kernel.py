@@ -688,13 +688,18 @@ def _make_kernel(program, width, height, spp, max_bounces, lens, sky, n_pix,
         # on big tapes (99-leaf many-objects scene OOM'd by 80 KB at
         # unroll=4; unroll=2 fits and measured 45.6 -> 46.8). Small tapes
         # take 4, big ones 2; CSGR_WAVE_UNROLL overrides either way.
-        # Off-TPU unroll only multiplies XLA:CPU compile time (output
-        # is bit-identical at any K), so it pays on the real target
-        # only.
+        # Round 5, the HEADLINE protocol (1080p/64spp): a 64-spp tile
+        # runs 4x the wave steps, so the duplicated tail amortizes
+        # further out — config5 measures u8 1081.6 vs u4 1031.0 vs the
+        # 16-spp-tuned default 1029.8 Mrays/s; at 16 spp u8 measured
+        # WORSE (396.9 vs 413.9), hence the spp tier. Off-TPU unroll
+        # only multiplies XLA:CPU compile time (output is bit-identical
+        # at any K), so it pays on the real target only.
+        small_tape = len(leaf_scal) <= 24
         state = classic_wavefront(
             bounce_step, camera_rays, spp, max_bounces, in_image,
             sample_offset.astype(jnp.uint32), extra0=(zero_i, zero_f),
-            unroll=(4 if len(leaf_scal) <= 24 else 2)
+            unroll=((8 if spp >= 32 else 4) if small_tape else 2)
             if jax.default_backend() == "tpu" else 1,
         )
         out_r_ref[:] = state["rad"][0]

@@ -1190,6 +1190,21 @@ def _stream_serve_mode():
     return _os.environ.get("CSGR_STREAM_SERVE", "")
 
 
+def _stream_acc_on():
+    """Round-5 census knob: CSGR_STREAM_ACC=1 serves each voted page
+    with its OWN [rr, pw] @ [pw, 128] dot and ACCUMULATES the k results
+    instead of concatenating the k slabs (+ their one-hots) into one
+    wide [rr, k*pw] dot. Bit-exact: a lane's one-hot rows are nonzero
+    in at most ONE page (its own), so the other k-1 dots contribute
+    exact zeros — f32 x + 0.0 == x. Kills the per-serve lane-dim slab
+    concat copies (~127 KB at k=4/pw=128) and the one-hot concat; the
+    MAC volume is unchanged (tools/exp_dot_k priced the k-way dot split
+    cost-neutral at equal MACs)."""
+    import os as _os
+
+    return _os.environ.get("CSGR_STREAM_ACC", "0") == "1"
+
+
 def _hbm_vote_mode():
     """Phase-B (HBM table) vote mode: "global" = tile-global top-k, one
     shared DMA'd slab set, every group dots all k slabs (round 3b).
@@ -1381,16 +1396,33 @@ def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps,
         flag_rows = []
         a_rows: list = [[] for _ in range(N_ATTRS)]
 
-        def serve_group(g, slab_cat, locals_g):
-            # per-lane chunk-column extraction by ONE wide one-hot MXU
-            # pass over the k concatenated page slabs: a lane's one-hot
-            # rows are nonzero only inside its own page's 128-block.
-            # (A tpu.dynamic_gather / take_along_axis lane-shuffle was
-            # 5x faster in a micro-bench (tools/exp_gather.py) but 30%
-            # SLOWER in the real kernel — the shuffle serializes
-            # against the surrounding vector work where the MXU pass
-            # overlaps it; measured 4832 -> 6380 ms on the 15k scene.
-            # Keep the dot.)
+        def serve_dot(slabs_r, locals_g):
+            # per-lane chunk-column extraction by one-hot MXU passes
+            # over the k page slabs: a lane's one-hot rows are nonzero
+            # only inside its own page's block. Default: concatenate
+            # the k slabs lane-wise and pay ONE wide [rr, k*pw] dot.
+            # CSGR_STREAM_ACC=1: k separate [rr, pw] dots ACCUMULATED
+            # (exact — the k-1 foreign dots add exact zeros), killing
+            # the slab + one-hot concat copies. (A tpu.dynamic_gather /
+            # take_along_axis lane-shuffle was 5x faster in a
+            # micro-bench (tools/exp_gather.py) but 30% SLOWER in the
+            # real kernel — the shuffle serializes against the
+            # surrounding vector work where the MXU pass overlaps it;
+            # measured 4832 -> 6380 ms on the 15k scene. Keep the dot.)
+            if _stream_acc_on() and k_pages > 1:
+                out = None
+                for sl, local in zip(slabs_r, locals_g):
+                    oh = (iota_f == local).astype(sl.dtype)
+                    dj = jax.lax.dot_general(
+                        sl, oh, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    out = dj if out is None else out + dj
+                return out
+            slab_cat = (
+                slabs_r[0] if k_pages == 1
+                else jnp.concatenate(slabs_r, axis=1)
+            )
             onehot = jnp.concatenate(
                 [
                     (iota_f == local).astype(slab_cat.dtype)
@@ -1400,26 +1432,28 @@ def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps,
             ) if k_pages > 1 else (
                 iota_f == locals_g[0]
             ).astype(slab_cat.dtype)
+            return jax.lax.dot_general(
+                slab_cat, onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def serve_group(g, slabs, locals_g):
             if _stream_stub() == "dot":
                 # census only (CSGR_STUB=dot, round 5): vote + slices +
                 # concat + one-hot stay real and the chain FLAGS come
                 # from a thin [1,K] @ [K,128] dot (real chain walk), but
                 # the big [rr,K] gather dot is skipped — (mt - dot)
                 # prices the big dot's MACs exactly.
-                fl = jax.lax.dot_general(
-                    slab_cat[flag_row : flag_row + 1], onehot,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                fl = serve_dot(
+                    [sl[flag_row : flag_row + 1] for sl in slabs],
+                    locals_g,
                 )
                 flag_rows.append((fl > 0.0).astype(jnp.int32))
                 tc_rows.append(jnp.where(fl > big, fl, big))
                 for j in range(N_ATTRS):
                     a_rows[j].append(fl * 0.0)
                 return
-            got = jax.lax.dot_general(
-                slab_cat, onehot, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            got = serve_dot(slabs, locals_g)
             # flags travel as int32: Mosaic cannot select between i1
             # vectors ("Unsupported target bitwidth for truncation")
             flag_rows.append(
@@ -1510,12 +1544,8 @@ def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps,
                     ])
                     for j in range(k_pages)
                 ]
-                slab_cat = (
-                    slabs[0] if k_pages == 1
-                    else jnp.concatenate(slabs, axis=1)
-                )
                 serve_group(
-                    g, slab_cat, [loc[g : g + 1] for loc in locals_all]
+                    g, slabs, [loc[g : g + 1] for loc in locals_all]
                 )
         elif gs.hbm_table and scratch is not None:
             # phase B default keeps TILE-GLOBAL voting: the k served
@@ -1545,13 +1575,10 @@ def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps,
             # tile-served set = the k smallest pending pages, so a
             # pending lane is served this trip iff pg <= p_last
             on_p = ndb & (pg <= p_last)
-            slab_cat = (
-                slabs[0] if k_pages == 1
-                else jnp.concatenate(slabs, axis=1)
-            )  # [rr_pad, k*128], shared by all 8 row groups
+            # slabs [rr_pad, pw] each, shared by all 8 row groups
             for g in range(TILE_ROWS):
                 serve_group(
-                    g, slab_cat, [loc[g : g + 1] for loc in locals_]
+                    g, slabs, [loc[g : g + 1] for loc in locals_]
                 )
         elif _vote_mode() == "block":
             # VMEM tables, BLOCK-FORM per-group voting (round 4): the
@@ -1585,13 +1612,9 @@ def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps,
                     ))
                     for j in range(k_pages)
                 ]
-                slab_cat = (
-                    slabs[0] if k_pages == 1
-                    else jnp.concatenate(slabs, axis=1)
-                )  # [rr_pad, k*128], this group's pages
                 serve_group(
                     g,
-                    slab_cat,
+                    slabs,
                     [loc[g : g + 1] for loc in locals_all],
                 )
         else:
@@ -1614,16 +1637,12 @@ def _stream_service(gs: TriGridStatic, tab, ci, d, to, eps,
                     _narrow(_page_slab(tab, p_i, rr_pad))
                     for p_i in p_is_g
                 ]
-                slab_cat = (
-                    slabs[0] if k_pages == 1
-                    else jnp.concatenate(slabs, axis=1)
-                )  # [rr_pad, k*128], this group's pages
                 # int32 rows: Mosaic cannot concatenate i1 vregs
                 # ("Invalid vector register cast", bitcast i1 -> i32)
                 on_rows.append(
                     (ndb[g : g + 1] & (pg_g <= p_last)).astype(jnp.int32)
                 )
-                serve_group(g, slab_cat, locals_g)
+                serve_group(g, slabs, locals_g)
             on_p = jnp.concatenate(on_rows, axis=0) > 0
         # merge + chain bookkeeping, all in [8,128] block form
         tc = jnp.where(on_p, jnp.concatenate(tc_rows, axis=0), big)

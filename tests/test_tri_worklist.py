@@ -442,6 +442,37 @@ def test_stream_dma_serve_bit_identity(monkeypatch):
     assert (outs[0][0] == outs[1][0]).all()
 
 
+@pytest.mark.parametrize("hbm", [False, True])
+def test_stream_acc_dots_bit_identity(monkeypatch, hbm):
+    """CSGR_STREAM_ACC=1 (round 5) serves each voted page with its own
+    [rr,pw]@[pw,128] dot and sums the k results instead of one wide
+    concat dot. A lane's one-hot is nonzero in at most one page, so the
+    foreign dots add exact f32 zeros — images must be BIT-IDENTICAL on
+    both the VMEM and HBM table paths."""
+    from csgrenderer_tpu.kernels import tri_worklist as twl
+
+    if hbm:
+        monkeypatch.setattr(twl, "_STREAM_TABLE_BYTES", 1)
+    mesh = demo_mesh(2)
+    cam = Camera.look_at(
+        (0.0, 1.6, 2.2), (0.0, 0.7, -2.6),
+        vfov_degrees=45.0, aspect_ratio=64 / 36,
+    )
+    outs = []
+    for v in ("0", "1"):
+        monkeypatch.setenv("CSGR_STREAM_ACC", v)
+        twl._PACK_CACHE.clear()
+        jax.clear_caches()  # trace-time knob, same grid_static
+        img, rays = render_image_mesh_pallas(
+            mesh, cam, 64, 36, spp=2, max_bounces=4, seed=7,
+            interpret=True, worklist="stream", gather_pages=2,
+        )
+        outs.append((np.asarray(img), int(rays)))
+    twl._PACK_CACHE.clear()
+    assert outs[0][1] == outs[1][1]
+    assert (outs[0][0] == outs[1][0]).all()
+
+
 def test_hbm_vote_modes_bit_identity(monkeypatch):
     """HBM per-group block voting (the round-4 default, 245k 1.0 -> 1.2
     Mrays/s) serves pages in a different ORDER than tile-global voting
